@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin re-export of `parquet_to_hyper_app_spark.registry`: every operator
+declared in SURVEY.md §2B registers a (PySpark impl, DuckDB oracle SQL)
+pair there; this module adapts the registry to the driver's
+entry/queries/oracle_sql interface.
 """
 
 from __future__ import annotations
@@ -12,27 +11,43 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric, normalize_schema
+from parquet_to_hyper_app_spark.registry import load_all
+
+_SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reference conversion pipeline + TPC-H-Q1-shaped rollup.
+
+    scan(lineitem) → clean_numeric → normalize_schema → groupBy agg —
+    exercises scan, projection/expressions, partial+final hash
+    aggregation (SURVEY.md §7.1).
+    """
+    df = normalize_schema(clean_numeric(load_table(spark, _SF0001, "lineitem")))
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2B."""
+    return {key: spec.fn for key, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every hash-checkable query key."""
+    return {key: spec.oracle for key, spec in load_all().items() if spec.oracle is not None}

@@ -1,0 +1,79 @@
+"""SparkSession construction and session-level configuration.
+
+The driver owns the SparkSession it hands to ``queries()`` callables, so
+everything the engine needs must be settable at *runtime* (SQL confs,
+not static confs). ``ensure_session_configs`` is called by the catalog
+loader before any read; it is idempotent and cheap.
+
+Scale posture (100 TB design, validated locally): AQE on (runtime
+coalescing + skew-join splitting), partial aggregation and broadcast
+joins are Catalyst defaults; shuffle partition count is left to the
+session owner except in `build_session`, where it is sized to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs the engine requires; all runtime-settable.
+REQUIRED_SQL_CONFS: dict[str, str] = {
+    # Oracle comparability: DuckDB timestamps are UTC-naive. Spark must
+    # materialize identical wall-clock values regardless of driver TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # The `events` table stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read the raw int64 nanos and convert in
+    # the catalog (see catalog.EVENTS_TS_EXPR).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime partition coalescing + skew handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the pandas-UDF surface.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_configs(spark: SparkSession) -> SparkSession:
+    """Apply required runtime SQL confs to an externally-built session.
+
+    Safe to call repeatedly; ignores confs the session refuses (e.g. a
+    future Spark making one static) rather than failing the query.
+    """
+    for key, value in REQUIRED_SQL_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - defensive
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "parquet_to_hyper_app_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized to the machine (tests / bench).
+
+    On a real cluster the session comes from the environment; this
+    builder is only for local runs. ``SPARK_GRAFT_CPUS`` overrides core
+    count (the driver's bench contract).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in REQUIRED_SQL_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_configs(spark)

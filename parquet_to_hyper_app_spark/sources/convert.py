@@ -1,0 +1,133 @@
+"""S4 `convert_sink` — the reference's end-to-end conversion pipeline.
+
+Reference (app.py:67-174): spool upload → stream 10k-row Arrow batches →
+clean numerics → infer/widen schema from first chunk → row-insert into a
+Hyper table → zip the file. Spark-first re-expression: one declarative
+``read.parquet → clean_numeric → normalize_schema → write`` chain.
+Chunking, pipelining, parallelism, memory management and spill are
+Catalyst/Tungsten's job (SURVEY.md §4.2) — none of the reference's
+manual batch loop, GC calls or row materialization survives.
+
+Sink choices:
+- parquet/orc/csv directory sink (default; scales to any cluster size —
+  one file per task, no driver bottleneck);
+- JDBC sink (`write_jdbc`) for the reference's "insert into a database
+  table" semantics — per-partition batched inserts replace the
+  reference's single-threaded Inserter loop (app.py:128-131);
+- `compress_to_zip` replicates the reference's zip delivery post-step
+  (app.py:54-65) as a driver-side convenience, NOT an engine operator.
+
+The tableauhyperapi sink itself is intentionally not an engine op: it is
+a single-process driver-local library (SURVEY.md §7.3 risk 3); the
+neutral sink covers the engine semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric, normalize_schema
+from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.session import ensure_session_configs
+
+
+def convert(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Scan → clean → widen → write; returns the written-back DataFrame.
+
+    Row-count verification (reference app.py:156-160 checks
+    rows_processed) falls out of re-reading the sink: callers compare
+    ``convert(...).count()`` with the source count.
+    """
+    ensure_session_configs(spark)
+    df = normalize_schema(clean_numeric(spark.read.parquet(input_path)))
+    df.write.format(fmt).mode(mode).save(output_path)
+    return spark.read.format(fmt).load(output_path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10_000, **options) -> None:
+    """Database-table sink: per-partition batched inserts (reference's
+    Inserter.add_rows loop, app.py:128-131, parallelized per partition)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode("append")
+        .save()
+    )
+
+
+def compress_to_zip(path: str, zip_path: str | None = None) -> str:
+    """Zip-DEFLATE a sink file/directory (reference app.py:54-65 parity).
+
+    Driver-side delivery step, not part of any distributed plan.
+    """
+    zip_path = zip_path or path.rstrip("/") + ".zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, path))
+        else:
+            zf.write(path, os.path.basename(path))
+    return zip_path
+
+
+@query(
+    "convert_sink",
+    oracle="""
+    SELECT
+        coalesce(l_orderkey, 0) AS l_orderkey,
+        coalesce(l_partkey, 0) AS l_partkey,
+        coalesce(l_suppkey, 0) AS l_suppkey,
+        CAST(coalesce(l_linenumber, 0) AS BIGINT) AS l_linenumber,
+        CASE WHEN l_quantity IS NULL OR isnan(l_quantity) OR isinf(l_quantity)
+             THEN 0 ELSE l_quantity END AS l_quantity,
+        CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) OR isinf(l_extendedprice)
+             THEN 0 ELSE l_extendedprice END AS l_extendedprice,
+        CASE WHEN l_discount IS NULL OR isnan(l_discount) OR isinf(l_discount)
+             THEN 0 ELSE l_discount END AS l_discount,
+        CASE WHEN l_tax IS NULL OR isnan(l_tax) OR isinf(l_tax)
+             THEN 0 ELSE l_tax END AS l_tax,
+        l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+)
+def convert_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: full convert pipeline on `lineitem`, parquet sink, read back.
+
+    The oracle is the composed clean+widen projection — the sink
+    round-trip must be value-preserving, so this is a strong check of
+    the whole pipeline, not just rows-only.
+    """
+    sink = os.path.join(tempfile.gettempdir(), "parquet_to_hyper_app_spark_sink", "lineitem")
+    return convert(spark, os.path.join(sf_dir, "lineitem.parquet"), sink)
+
+
+@query("convert_sink_events")
+def convert_sink_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b (rows-only): convert the ns-timestamp `events` source end-to-end.
+
+    No oracle: the sink round-trip of the µs-truncated ts is already
+    value-checked by `parquet_scan_events`; this key exercises the
+    write path on a second schema (JSON strings, doubles with the
+    clean rule applied).
+    """
+    _ = load_table(spark, sf_dir, "events")  # ensures session confs
+    sink = os.path.join(tempfile.gettempdir(), "parquet_to_hyper_app_spark_sink", "events")
+    df = normalize_schema(clean_numeric(load_table(spark, sf_dir, "events")))
+    df.write.mode("overwrite").parquet(sink)
+    return spark.read.parquet(sink)

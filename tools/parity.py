@@ -1,0 +1,132 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage:
+    python tools/parity.py [--sf /root/testdata/sf0.01] [key ...]
+
+For every registered query (or the given keys): run the PySpark
+implementation and the oracle SQL side-by-side, compare row count,
+sorted column names, and order-insensitive values (columns sorted by
+name, rows sorted by canonical string, exact cell equality with a
+float-diff report on mismatch). Exit 1 if anything diverges.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_to_hyper_app_spark.catalog import TABLE_NAMES  # noqa: E402
+from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
+from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = []
+    for row in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(canon_cell(v) for v in row))
+    rows.sort()
+    return rows
+
+
+def compare(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        errs.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        errs.append(f"columns spark={sc} oracle={oc}")
+        return errs
+    a, b = canon_frame(spark_pdf), canon_frame(oracle_pdf)
+    if a != b:
+        n_bad = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
+        errs.append(f"values differ in ~{n_bad}/{max(len(a), len(b))} rows")
+        for x, y in zip(a, b):
+            if x != y:
+                errs.append(f"  first diff:\n    spark : {x}\n    oracle: {y}")
+                break
+    return errs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    specs = load_all()
+    keys = args.keys or list(specs)
+    unknown = [k for k in keys if k not in specs]
+    if unknown:
+        print(f"unknown keys: {unknown}")
+        return 2
+
+    spark = build_session("parity")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    failures = 0
+    for key in keys:
+        spec = specs[key]
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {key}: spark error: {type(e).__name__}: {str(e)[:400]}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"weak {key}: rows={len(spark_pdf)} ({time.time() - t0:.1f}s, no oracle)")
+            if len(spark_pdf) == 0 and key not in ("stream_watermark_late",):
+                print(f"  WARNING {key}: 0 rows from a rows-only query")
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {key}: oracle error: {type(e).__name__}: {str(e)[:400]}")
+            failures += 1
+            continue
+        errs = compare(key, spark_pdf, oracle_pdf)
+        if errs:
+            failures += 1
+            print(f"FAIL {key} ({time.time() - t0:.1f}s)")
+            for e in errs:
+                print(f"  {e}")
+        else:
+            print(f"ok   {key}: rows={len(spark_pdf)} ({time.time() - t0:.1f}s)")
+
+    print(f"\n{len(keys) - failures}/{len(keys)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
