@@ -1,1 +1,518 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Relational operator surface: filter/project, join family, aggregation
+family, sort/limit, set operations, pivot (SURVEY.md §2B S5–S17, S21–S24).
+
+All operators are declarative DataFrame plans — Catalyst supplies
+predicate pushdown, column pruning, join selection (broadcast below the
+threshold, else sort-merge), partial+final hash aggregation, and AQE
+skew handling. Design notes for 100 TB are in each docstring; nothing
+here collects to the driver or loops row-wise.
+
+Float-aggregate convention: every SUM/AVG over doubles is rounded to a
+fixed scale in BOTH engines so summation-order nondeterminism (Spark
+partial aggregates combine in partition order; DuckDB in its own order)
+cannot flip the driver's exact value-hash. Rounding scale 2 keeps the
+boundary-flip probability ~1e-4 per value (fp error ~1e-6 abs vs 0.01
+quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+# --------------------------------------------------------------------------
+# S5 filter + projection
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_shipdate < TIMESTAMP '1998-06-01'
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: predicate + column pruning; both reach the parquet scan
+    (PushedFilters + 4-column ReadSchema in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_shipdate") < F.lit("1998-06-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+# --------------------------------------------------------------------------
+# S6–S12 join family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: equi-join orders⋈customer. Catalyst picks broadcast-hash when
+    the customer side fits `autoBroadcastJoinThreshold`, else sort-merge
+    with AQE skew splitting — no manual strategy needed at any scale."""
+    orders, customer = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: star join (TPC-H Q5 shape). nation/region are bounded dims
+    (25/5 rows at ANY scale factor) → explicit broadcast removes two
+    shuffles; the fact⋈orders⋈customer chain shuffles on its keys and
+    aggregates partially map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: left outer join (customers kept even with zero orders)."""
+    orders, customer = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: left-semi join ≙ EXISTS — emits each left row at most once,
+    never widens the row, shuffles only the join key columns."""
+    orders, li = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: left-anti join ≙ NOT EXISTS (orders with no lineitems)."""
+    orders, li = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+    FROM events a
+    JOIN events b
+      ON b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL 1 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: band/range self-join — events within 1 minute after each event.
+
+    Spark has no native interval join; a naive non-equi join plans as a
+    broadcast-nested-loop (O(n²) — dead at scale). Instead: bucketize
+    time into band-width buckets, explode the left side to its two
+    candidate buckets, equi-join on bucket, then apply the exact band
+    predicate. Work becomes O(n · density) and shuffles hash-partition
+    on the bucket key — the standard scalable interval-join shape.
+    """
+    band_us = 60_000_000  # 1 minute
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("a_us"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("b_us"),
+    ).withColumn("bucket", (F.col("b_us") / band_us).cast("long"))
+    a_exploded = a.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("a_us") / band_us).cast("long"),
+                (F.col("a_us") / band_us).cast("long") + 1,
+            )
+        ),
+    )
+    return (
+        a_exploded.join(b, "bucket")
+        .filter(
+            (F.col("b_us") >= F.col("a_us"))
+            & (F.col("b_us") < F.col("a_us") + band_us)
+            & (F.col("a_id") != F.col("b_id"))
+        )
+        .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("delta_us"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: as-of join — latest order at or before each event, per user.
+
+    Spark-first formulation: equi-join on the entity key (shuffle
+    co-partitions both sides on user), keep the inequality as a join
+    residual, then per-event row_number()=1 picks the as-of match.
+    Deterministic tie-break (o_orderdate, o_orderkey). At scale this is
+    one shuffle + one window over already-partitioned data; the
+    per-group `merge_asof` Pandas-UDF variant is only worth it when one
+    side is sorted and huge-per-key.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    from pyspark.sql import Window as W
+
+    joined = ev.join(
+        orders,
+        (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# S13–S17 aggregation family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: TPC-H Q1 — grouped sum/avg/count. Partial (map-side) +
+    final hash aggregation for free; 6 groups means the final shuffle
+    moves ~nothing regardless of input size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: exact grouped count(distinct). Catalyst expands multi-
+    distinct into a two-phase aggregate (Expand + partial dedup) so the
+    shuffle carries distinct (group, value) pairs, not raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: hierarchical totals; Spark and DuckDB agree on NULL
+    grouping markers for the subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: full cross-tabulation totals via CUBE."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 (rows-only): HyperLogLog++ distinct estimate per group.
+
+    No oracle by design — the estimate is algorithm-specific; DuckDB's
+    approx_count_distinct uses a different sketch and need not match.
+    The exact-vs-approx error bound is unit-tested instead
+    (tests/test_relational.py::test_approx_distinct_error).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13b: statistical aggregates (stddev/variance/corr/min/max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S21 sort/limit, S22–S24 set ops, pivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: global top-k. Spark plans TakeOrderedAndProject — each task
+    keeps a k-row heap, the driver merges k·tasks rows; no global sort
+    materializes at any scale. Deterministic tie-break on o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22: UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: INTERSECT (distinct) — customers that placed orders."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c.c_custkey FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: EXCEPT (distinct) — ordering customers outside ASIA."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(asia)  # subtract == SQL EXCEPT (distinct)
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT c_mktsegment,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13c: pivot — order-status counts per market segment. Explicit
+    pivot values keep the plan a single pass (no extra distinct scan)."""
+    orders, customer = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum"))
+    )
+    totals = joined.groupBy("c_mktsegment").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    return (
+        pivoted.join(totals, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+            F.col("total"),
+        )
+    )

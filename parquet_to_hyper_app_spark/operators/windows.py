@@ -1,1 +1,118 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Window-function surface (SURVEY.md §2B S18–S20).
+
+Windows shuffle once on the partition key, sort within partitions, and
+stream the frame — no whole-partition materialization. Every orderBy
+carries a unique tie-break column so results are deterministic across
+engines and run-to-run (SURVEY.md §7.3 risk 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal, rk FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rk
+        FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: top-3 customers by balance per nation. rank() keeps ties —
+    the qualifying set is deterministic even with equal balances."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        c.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rk")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(event_id)  OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: per-user previous/next event + inter-event gap in µs.
+    Gap arithmetic is integer (unix_micros) — no float drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "window_moving_agg",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round(avg(value) OVER w, 6) AS moving_avg,
+           round(sum(value) OVER w, 6) AS moving_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: moving average/sum over a 3-row frame per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.round(F.sum("value").over(w), 6).alias("moving_sum"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20b: cumulative spend per customer — the running-total frame is
+    evaluated incrementally in order, so both engines add in the same
+    sequence."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )

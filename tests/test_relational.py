@@ -1,0 +1,64 @@
+"""Unit tests for relational-surface semantics the oracle can't pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.relational import (
+    agg_approx_distinct,
+    join_range,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_distinct_error(spark):
+    """HLL++ estimate at rsd=0.02 should be within 5% of exact."""
+    approx = {r.l_returnflag: r.approx_parts for r in agg_approx_distinct(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("d")).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join == naive O(n²) non-equi join on a sample."""
+    got = {(r.a_id, r.b_id) for r in join_range(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts")
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    naive = a.join(
+        b,
+        (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 MINUTE"))
+        & (F.col("a_id") != F.col("b_id")),
+    )
+    expected = {(r.a_id, r.b_id) for r in naive.collect()}
+    assert got == expected
+
+
+def test_broadcast_in_multiway_plan(spark):
+    """nation/region joins must plan as broadcast (no shuffle for dims)."""
+    from parquet_to_hyper_app_spark.operators.relational import join_multiway
+
+    plan = join_multiway(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sort_limit_is_take_ordered(spark):
+    from parquet_to_hyper_app_spark.operators.relational import sort_limit
+
+    plan = sort_limit(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_project_pushdown(spark):
+    from parquet_to_hyper_app_spark.operators.relational import filter_project
+
+    plan = filter_project(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan
+    # column pruning: only the 4 projected columns reach the scan
+    assert "l_tax" not in plan.split("ReadSchema")[1][:400]
