@@ -27,17 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
     exercises scan, projection/expressions, partial+final hash
     aggregation (SURVEY.md §7.1).
     """
+    from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
+
     df = normalize_schema(clean_numeric(load_table(spark, _SF0001, "lineitem")))
+    n = F.count(F.lit(1))
     return (
         df.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
+            exact_sum(dec2("l_quantity")).alias("sum_qty"),
+            exact_sum(dec2("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            (exact_sum(dec2("l_quantity")) / n).alias("avg_qty"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

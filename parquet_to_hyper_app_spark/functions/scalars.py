@@ -1,1 +1,179 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Scalar function surface (SURVEY.md §2B S25–S29).
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path. Each query pins the
+Spark expression against the DuckDB dialect equivalent; dialect drift
+(function return types, 1-based list slicing, regexp flavor) is
+neutralized with explicit casts documented inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_head,
+           p_brand || ':' || p_type AS brand_type,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           split_part(p_name, ' ', 2) AS second_word
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: string library — upper/substr/concat/regexp/length/replace/
+    split_part on part names (simple RE2-compatible pattern so the Java
+    and DuckDB regexp engines agree)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+               AS days_to_eoy,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS weekday_mon0,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: date/time library — extract, truncate, day arithmetic.
+    Weekday normalized to Monday=0 (Spark weekday == DuckDB isodow-1);
+    extraction results cast to BIGINT to match DuckDB's return types."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_eoy"),
+        F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 + l_tax) AS charge,
+           round(abs(l_discount - 0.05), 6) AS disc_dev,
+           round(ln(l_extendedprice), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           l_orderkey % 7 AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: math library — round/abs/ln/sqrt/ceil/floor/mod/greatest.
+    ceil/floor cast to BIGINT (Spark returns LONG, DuckDB DOUBLE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw double product: same IEEE ops on same operands in both
+        # engines → bitwise identical, no rounding needed (rounding a
+        # 4-decimal-exact product at scale 2 would sit on .xx5 ties)
+        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("charge"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(length(props) AS BIGINT) AS props_len
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: JSON extraction from the events.props string column.
+    `get_json_object` (Spark) ≙ `json_extract_string` (DuckDB); a typed
+    read via from_json yields the same k_int."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_dim,
+           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+           round(sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / len(embedding), 6) AS mean_dim
+    FROM embeddings
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29: higher-order array functions over the embedding vectors —
+    size/element_at/slice/transform/aggregate, all JVM-side (no UDF).
+    Elements cast float→double before arithmetic so both engines
+    accumulate in double; aggregate() is an ordered left fold matching
+    DuckDB's list_sum order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.round(
+            F.sqrt(
+                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
+            6,
+        ).alias("mean_dim"),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
 from parquet_to_hyper_app_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -72,7 +73,8 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -99,9 +101,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            exact_sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -263,13 +263,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 2) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))
+                    * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -281,19 +284,20 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     final hash aggregation for free; 6 groups means the final shuffle
     moves ~nothing regardless of input size."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            exact_sum(dec2("l_quantity")).alias("sum_qty"),
+            exact_sum(dec2("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(disc_price * dec2(1 + F.col("l_tax"))).alias("sum_charge"),
+            (exact_sum(dec2("l_quantity")) / n).alias("avg_qty"),
+            (exact_sum(dec2("l_extendedprice")) / n).alias("avg_price"),
+            (exact_sum(dec2("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -326,7 +330,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -337,7 +341,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        exact_sum(dec2("o_totalprice")).alias("total_price"),
     )
 
 
@@ -346,7 +350,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           round(avg(o_totalprice), 2) AS avg_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -356,7 +360,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        (exact_sum(dec2("o_totalprice")) / F.count(F.lit(1))).alias("avg_price"),
     )
 
 
@@ -490,7 +494,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -503,16 +507,16 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum"))
+        .agg(F.count(F.lit(1)))
     )
-    totals = joined.groupBy("c_mktsegment").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    totals = joined.groupBy("c_mktsegment").agg(exact_sum(dec2("o_totalprice")).alias("total"))
     return (
         pivoted.join(totals, "c_mktsegment")
         .select(
             "c_mktsegment",
-            F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
-            F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
-            F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
             F.col("total"),
         )
     )
