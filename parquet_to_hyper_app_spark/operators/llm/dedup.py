@@ -1,1 +1,303 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over the `documents` / `embeddings` tables
+(BASELINE.json north star), each built shuffle-first so it survives
+100 TB:
+
+- exact           content-hash groupBy (one shuffle on the hash)
+- minhash_lsh     shingle → minhash signature → banded LSH buckets →
+                  candidate pairs → exact-Jaccard verify (never O(n²))
+- simhash         64→32-bit sign-of-sum fingerprint, all in JVM
+                  higher-order expressions
+- ngram_jaccard   exact pairwise Jaccard inside cheap blocking keys
+- embedding       cosine-threshold pairs (exhaustive at test scale;
+                  the LSH-bucketed scale path is similarity_ivf's)
+
+Everything is deterministic: hash functions are seeded xxhash64,
+tie-breaks are explicit, no MLlib random coefficients.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content (sha256) group."""
+    h = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(h).orderBy(id_col)
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_hash FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30: exact dedup of documents by content hash; survivor = min
+    doc_id. One shuffle on the 256-bit hash — uniform keys, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_df(docs).select("doc_id", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 32
+_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+#: word 3-gram shingles of the lower-cased text, distinct
+_SHINGLES = """
+array_distinct(
+  CASE WHEN size(__words) >= 3 THEN
+    transform(sequence(0, size(__words) - 3),
+              i -> concat_ws(' ', __words[i], __words[i+1], __words[i+2]))
+  ELSE array(concat_ws(' ', __words))
+  END
+)
+"""
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).withColumn("shingles", F.expr(_SHINGLES)).drop("__words")
+
+
+def _with_signature(shingled: DataFrame) -> DataFrame:
+    """32 seeded-xxhash64 minhashes per document (deterministic)."""
+    sig = F.array(
+        *[
+            F.array_min(F.expr(f"transform(shingles, s -> xxhash64({k}, s))"))
+            for k in range(_N_HASHES)
+        ]
+    )
+    return shingled.withColumn("signature", sig)
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH banding: equal band-hash ⇒ candidate pair (doc_a < doc_b).
+
+    The shuffle key is (band_id, band_hash): documents only ever meet
+    inside a bucket, so work scales with bucket sizes, not n².
+    """
+    sigged = _with_signature(_with_shingles(docs)).select("doc_id", "shingles", "signature")
+    bands = []
+    for b in range(_BANDS):
+        elems = [
+            F.element_at("signature", b * _ROWS_PER_BAND + r + 1).cast("string")
+            for r in range(_ROWS_PER_BAND)
+        ]
+        bands.append(F.struct(F.lit(b).alias("band_id"), F.xxhash64(*elems).alias("band_hash")))
+    bucketed = sigged.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = bucketed.alias("a")
+    b_ = bucketed.alias("b")
+    return (
+        a.join(b_, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs whose exact shingle-Jaccard clears threshold."""
+    shingled = _with_shingles(docs).select("doc_id", "shingles")
+    pairs = minhash_candidates(docs)
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31 (rows-only): MinHash-LSH near-dedup — survivors after
+    removing every document verified (Jaccard ≥ 0.5 on word 3-gram
+    shingles) as a near-duplicate of a smaller doc_id.
+
+    Not SQL-expressible in the oracle (banded LSH + seeded xxhash64);
+    correctness is pinned by tests/test_llm.py with planted near-dups
+    and by the minhash-vs-exact-Jaccard property test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dups = verified_near_dup_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+#: 32-bit SimHash of the word multiset, entirely in JVM expressions:
+#: per word w and bit i, vote +1/-1 by bit i of xxhash64(w); fingerprint
+#: bit i is the sign of the summed vote.
+_SIMHASH = """
+aggregate(
+  zip_with(
+    aggregate(__words,
+              array_repeat(0L, 32),
+              (acc, w) -> zip_with(acc,
+                                   transform(sequence(0, 31),
+                                             i -> CASE WHEN (xxhash64(w) >> i) & 1 = 1
+                                                  THEN 1L ELSE -1L END),
+                                   (a, b) -> a + b)),
+    sequence(0, 31),
+    (v, i) -> named_struct('v', v, 'i', i)),
+  0L,
+  (s, p) -> s + CASE WHEN p.v > 0 THEN shiftleft(1L, p.i) ELSE 0L END
+)
+"""
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31b (rows-only): 32-bit SimHash fingerprint per document plus
+    its dedup verdict (first doc per fingerprint survives). Pure
+    higher-order JVM expressions — no Python in the hot path. Weak
+    check: the seeded-xxhash64 fingerprint isn't DuckDB-expressible;
+    unit tests pin identical-text ⇒ identical simhash and
+    near-identical-text ⇒ small Hamming distance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.withColumn(
+        "__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).withColumn("simhash", F.expr(_SIMHASH)).drop("__words")
+    w = W.partitionBy("simhash").orderBy("doc_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_survivor", F.col("rn") == 1)
+        .select("doc_id", "simhash", "is_survivor")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> toks[i] || ' ' || coalesce(toks[i+1], ''))) AS bigrams
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
+           / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31c: exact word-bigram Jaccard for pairs inside a blocking key
+    (same lang). Blocking keeps the join an equi-join — the scale story
+    is "block, then exact-verify inside blocks" (LSH is the smarter
+    blocker, minhash query above). Integer-ratio arithmetic → exact
+    double equality with the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    grams = docs.withColumn("__toks", toks).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+            " i -> concat_ws(' ', __toks[i-1], coalesce(__toks[i], ''))))"
+        ).alias("bigrams"),
+    )
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("bigrams").alias("bg_a")
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang"), F.col("bigrams").alias("bg_b")
+    )
+    jac = F.size(F.array_intersect("bg_a", "bg_b")).cast("double") / F.size(
+        F.array_union("bg_a", "bg_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(range(1, len(a.e) + 1),
+                        i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31d: embedding-cosine near-dup pairs (cos ≥ 0.4), exact.
+
+    Exhaustive pair generation (broadcast one side) is the *exactness*
+    baseline the oracle can check; at 100 TB the same verify runs only
+    inside LSH buckets (similarity_ivf shows the bucketed path). The
+    cosine is an ordered double fold — bitwise identical to the
+    oracle's list_sum, so no rounding is needed at the threshold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

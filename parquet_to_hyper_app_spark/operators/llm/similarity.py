@@ -1,1 +1,142 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Vector similarity search over the embeddings table.
+
+- similarity_topk: exact brute-force cosine top-k — broadcast the
+  (always small) query set against the (arbitrarily large) candidate
+  set, per-query window top-k. The shuffle is only on query_id for the
+  final top-k; candidates never shuffle. This is the exactness
+  baseline.
+- similarity_ivf: the scale path — deterministic random-hyperplane LSH
+  coarse quantizer; probing only the query's bucket cuts the scanned
+  candidates by ~2^bits at a recall cost. Approximate ⇒ rows-only
+  check; recall vs brute force is unit-tested.
+
+Cosine is computed with JVM higher-order functions (zip_with +
+ordered double fold) — no UDF, bitwise-matching the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+_N_QUERIES = 10
+_TOP_K = 3
+
+
+def cosine(ea: Column, eb: Column) -> Column:
+    """Ordered-fold cosine similarity between two double arrays."""
+    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    return dot / (F.sqrt(sq(ea)) * F.sqrt(sq(eb)))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self excluded)."""
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("eb"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ea"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos_sim
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT q_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32: exact cosine top-3 neighbors for query vectors vec_id<10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = brute_force_topk(emb, queries)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for the LSH quantizer."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a double-array column against fixed planes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(w) for w in p])
+        dot = F.aggregate(F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("similarity_ivf")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32b (rows-only): approximate top-k — 4-bit random-hyperplane
+    LSH coarse quantizer, search restricted to the query's bucket
+    (≈1/16 of candidates scanned). Approximate by construction, so no
+    SQL oracle; recall vs brute force is unit-tested ≥ 0.5 and the
+    bucketing is deterministic (seeded planes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    bits = 4
+    planes = _hyperplanes(dim, bits=bits)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    # multi-probe: each query also probes every Hamming-1 bucket, the
+    # standard recall/scan trade (scans (bits+1)/2^bits of candidates)
+    probes = F.array(F.col("bucket"), *[
+        F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)
+    ])
+    q = (
+        v.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("ea"), probes.alias("probes"))
+        .select("q_id", "ea", F.explode("probes").alias("bucket"))
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("bucket")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,1 +1,202 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Text-analysis operators for LLM training-data pipelines.
+
+All per-document metrics are single-pass JVM projections (split /
+higher-order functions / regexp) — no shuffle at all until an explicit
+aggregation, so they stream at scan speed over any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum  # noqa: F401
+from parquet_to_hyper_app_spark.registry import query
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text, empties removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS avg_token_len,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id, lang, text,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    )
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: per-document token count, mean token length, char count.
+    Integer sums divided as doubles — exact equality with the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (char_sum.cast("double") / F.size(toks)).alias("avg_token_len"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_lang_dist",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33b: corpus language distribution (integer aggregates, exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+           CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           length(text) BETWEEN 50 AND 100000
+               AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text) < 0.3 AS passes_quality
+    FROM (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33c: heuristic quality scoring — punctuation/digit/stopword
+    ratios plus a boolean gate (length band + digit ceiling), the
+    standard cheap pre-filter before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[^!?.,;:]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    sw = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    digit_ratio = digits.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (sw.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        (n_chars.between(50, 100000) & (digit_ratio < 0.3)).alias("passes_quality"),
+    )
+
+
+@query(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33d: BPE-ish token counting via a pre-tokenizer regex (letters
+    runs | digit runs | single punctuation) — the cheap proxy for
+    tokenizer-cost estimation over a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).cast("long").alias(
+            "n_word_tokens"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33e: normalization fingerprint (lower, collapse whitespace,
+    md5) — whitespace/caps-insensitive exact dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+#: tiny per-language marker lists for the heuristic classifier
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "los", "es"),
+    "fr": ("le", "la", "les", "est"),
+}
+
+
+@query("text_lang_id")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33f (rows-only): marker-word language ID — score = fraction of
+    tokens in each language's stopword list, argmax wins, 'und'
+    (undetermined) below a confidence floor. A toy heuristic (real
+    pipelines use fastText/CLD3 — those models aren't in this
+    container), but the *distributed shape* is the real one: pure
+    column expressions, no shuffle. Weak check: the argmax/tie policy
+    is engine-specific; determinism + agreement stats are unit-tested.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def marker_score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double") / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+
+    scores = [(lang, marker_score(words)) for lang, words in _LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best < 0.01, F.lit("und")).otherwise(pred)
+    out = docs.select("doc_id", "lang", pred.alias("predicted_lang"), F.round(best, 6).alias("score"))
+    return out

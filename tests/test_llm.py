@@ -1,0 +1,124 @@
+"""Unit tests for LLM-pipeline operators — pins the semantics the
+DuckDB oracle can't check (LSH recall, simhash properties, stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.llm.dedup import (
+    dedup_exact_df,
+    minhash_candidates,
+    verified_near_dup_pairs,
+)
+from parquet_to_hyper_app_spark.operators.llm.multimodal import (
+    DECODE_SCHEMA,
+    FEATURE_SCHEMA,
+    decode_image,
+    extract_features,
+    fake_decode_image,
+    with_blob,
+)
+from parquet_to_hyper_app_spark.operators.llm.similarity import (
+    brute_force_topk,
+    similarity_ivf,
+)
+from tests.conftest import SF_SMOKE
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from a distance near the old mill"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """8 docs: 0/1 exact dups, 2 near-dup of 0, 3..7 distinct."""
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),
+        (2, BASE.replace("quietly", "silently"), "en", "s", len(BASE)),
+        (3, "completely different content about spark engines and parquet files", "en", "s", 66),
+        (4, "yet another unrelated document mentioning databases and queries", "en", "s", 63),
+        (5, "short one", "en", "s", 9),
+        (6, "numbers 1 2 3 4 5 6 7 8 9 10 repeated endlessly", "en", "s", 47),
+        (7, "final document with totally disjoint vocabulary here", "en", "s", 52),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_dedup_exact_keeps_min_id(planted_docs):
+    out = dedup_exact_df(planted_docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5, 6, 7]  # doc 1 (exact dup of 0) removed
+
+
+def test_minhash_finds_planted_near_dup(planted_docs):
+    cands = {(r.doc_a, r.doc_b) for r in minhash_candidates(planted_docs).collect()}
+    assert (0, 1) in cands  # exact dup must always be a candidate
+    verified = {(r.doc_a, r.doc_b) for r in verified_near_dup_pairs(planted_docs).collect()}
+    assert (0, 1) in verified
+    assert (0, 2) in verified or (1, 2) in verified  # one-word-changed near dup
+    # distinct docs must not be verified as dups
+    assert not any(a >= 3 or b >= 3 for a, b in verified)
+
+
+def test_simhash_properties(spark, planted_docs):
+    planted_docs.createOrReplaceTempView("__docs")
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _SIMHASH
+
+    out = (
+        planted_docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .withColumn("simhash", F.expr(_SIMHASH))
+        .select("doc_id", "simhash")
+        .collect()
+    )
+    sh = {r.doc_id: r.simhash for r in out}
+    assert sh[0] == sh[1]  # identical text -> identical fingerprint
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 8  # one word changed -> small Hamming distance
+    ham_far = bin(sh[0] ^ sh[7]).count("1")
+    assert ham_far > ham  # unrelated text is farther
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {(r.q_id, r.neighbor_id) for r in similarity_ivf(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # 4-bit quantizer + multiprobe scans ~5/16
+    # every approx neighbor must share the query's bucket -> subset sanity
+    assert len(approx) <= len(exact)
+
+
+def test_multimodal_plumbing(spark, planted_docs):
+    blobs = with_blob(planted_docs)
+    assert dict(blobs.dtypes)["payload"] == "binary"
+    feats = blobs.mapInPandas(extract_features, FEATURE_SCHEMA).collect()
+    assert len(feats) == 8
+    import hashlib
+
+    expect = hashlib.md5(BASE.encode()).hexdigest()
+    got = {r.doc_id: r.content_md5 for r in feats}
+    assert got[0] == expect and got[1] == expect
+    lens = {r.doc_id: r.byte_len for r in feats}
+    assert lens[0] == len(BASE.encode())
+
+
+def test_fake_decode_contract(spark, planted_docs):
+    out = with_blob(planted_docs).mapInPandas(fake_decode_image, DECODE_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(1 <= r.width <= 1920 and 1 <= r.height <= 1080 for r in rows)
+    # deterministic: same payload -> same fabricated dims
+    dims = {r.doc_id: (r.width, r.height) for r in rows}
+    assert dims[0] == dims[1]
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        next(decode_image(iter([])))
