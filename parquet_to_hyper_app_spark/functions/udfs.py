@@ -1,1 +1,136 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""User-extension surface (SURVEY.md §2B S39): the three sanctioned
+Python extension points, each Arrow-batched — never row-at-a-time.
+
+- pandas scalar UDF   vectorized Series→Series (Arrow transfer)
+- applyInPandas       grouped-map: whole group as a pandas DataFrame
+- Python UDTF         table function, used via LATERAL join
+
+The reference has no user extension point at all (SURVEY.md §2A); this
+module is the north-star extension surface. Each extension is oracle-
+checked against a pure-SQL equivalent, proving the Arrow round-trip is
+value-exact.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+# type objects, not DDL strings: decorators run at import time, before
+# any SparkSession exists to parse DDL
+_TOKEN_ROW = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("token_idx", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(T.LongType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized whitespace token count (Arrow-batched)."""
+    return texts.map(
+        lambda t: len([w for w in re.split(r"\s+", (t or "").strip()) if w])
+    ).astype("int64")
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens_udf
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S39a: pandas scalar UDF — token counting in Python, checked
+    value-exact against the SQL formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_udf("text").alias("n_tokens_udf"))
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: per-user z-score of event values."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=1)  # sample stddev == SQL stddev_samp
+    if pd.isna(std) or std == 0.0:
+        z = pd.Series([None] * len(pdf), dtype="float64")
+    else:
+        z = ((pdf["value"] - mean) / std).round(6)
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value": pdf["value"],
+            "zscore": z,
+        }
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN stddev_samp(value) OVER w IS NULL
+                  OR stddev_samp(value) OVER w = 0 THEN NULL
+                ELSE round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+           END AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S39b: applyInPandas grouped map — per-user z-score
+    normalization, the canonical 'whole group in pandas' pattern
+    (each user's events become one pandas DataFrame on an executor)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_group, "event_id long, user_id long, value double, zscore double"
+    )
+
+
+@udtf(returnType=_TOKEN_ROW)
+class SplitTokensUDTF:
+    """Python UDTF: one output row per whitespace token of the input."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for i, tok in enumerate(w for w in re.split(r"\s+", text.strip()) if w):
+            yield tok, i
+
+
+@query(
+    "udf_table",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, toks[i] AS token, CAST(i - 1 AS BIGINT) AS token_idx
+    FROM g, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S39c: Python UDTF via LATERAL join — tokenizer exploding each
+    document into (token, position) rows; only docs with ≥1 token
+    appear (inner lateral), mirrored by generate_series in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("split_tokens", SplitTokensUDTF)
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.token, s.token_idx
+        FROM __docs_udtf d, LATERAL split_tokens(d.text) s
+        """
+    )

@@ -1,1 +1,190 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Structured-Streaming window semantics (SURVEY.md §2B S35–S38).
+
+S35–S37 are written as *batch-equivalent* windowed aggregations — the
+same `F.window`/`F.session_window` expressions run unchanged under
+`readStream`, which is exactly how Spark unifies the two modes; the
+DuckDB oracle can therefore value-check the windowing logic.
+
+S38 is a *real* streaming query: file source → withWatermark →
+tumbling window → append-mode memory sink, driven to completion with
+`trigger(availableNow=True)`. Append mode only emits windows closed by
+the final watermark (max event time − 10 min); the oracle mirrors that
+eviction rule in SQL.
+
+Scale notes: streaming state is keyed by (window, group) and evicted
+by watermark — state size is bounded by active windows × groups, not
+by input volume; `session_window` merges per-key sessions in the state
+store the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
+from parquet_to_hyper_app_spark.registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S35: tumbling 1-hour event-time windows (streaming-ready
+    `F.window`, epoch-aligned exactly like date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(dec2("value")).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                          - CAST(k AS BIGINT) * 900000000) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36: sliding windows (1 h length, 15 min slide) — every event
+    lands in exactly 4 overlapping windows; the oracle reproduces
+    Spark's epoch-aligned window assignment with integer µs math."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return ev.groupBy(w).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(dec2("value")).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, event_id, ts,
+               CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S37: `F.session_window(ts, '30 minutes')` — Spark's native
+    merging session windows; session end = last event + gap, which the
+    oracle reproduces via the lag/cumsum sessionization (S34)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38: real Structured Streaming — parquet file source, 10-minute
+    watermark, 1-h tumbling window per event_type, append-mode memory
+    sink, driven to completion with availableNow.
+
+    Append mode emits a window only once the watermark (max seen event
+    time − 10 min) passes its end — the oracle's HAVING clause is that
+    eviction rule. Windows still open at end-of-stream stay in state
+    and are not emitted, exactly as they would on a live stream.
+    """
+    _ = load_table(spark, sf_dir, "events")  # applies session confs
+    qname = f"wm_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
+    # raw file schema: ts is int64 nanoseconds (nanosAsLong)
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    # the file stream source needs a *directory*; expose the single
+    # read-only parquet file through a symlink in a temp dir
+    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        # ns → µs truncation, then TIMESTAMP (watermarks need the
+        # tz-aware type; session tz is UTC so instants == wall clock)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
