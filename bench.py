@@ -1,0 +1,96 @@
+"""Benchmark harness — prints ONE JSON line the driver records.
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Every query is forced with a noop-format
+write so the full plan executes and materializes (a bare .count()
+would let Catalyst answer from parquet footers / prune all columns).
+
+    python bench.py            # one JSON line on stdout
+    python bench.py --verbose  # per-query progress on stderr
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
+from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
+
+#: representative headline set: reference-parity ETL, scan+filter,
+#: join family, aggregation, window, top-k, LLM ops, streaming window.
+HEADLINE = [
+    "parquet_scan",
+    "convert_sink",
+    "filter_project",
+    "join_inner",
+    "join_multiway",
+    "join_asof",
+    "join_range",
+    "agg_groupby",
+    "agg_distinct",
+    "window_moving_agg",
+    "sort_limit",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "sessionize",
+    "text_stats",
+    "stream_tumbling",
+]
+
+
+def main() -> int:
+    verbose = "--verbose" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    specs = load_all()
+    spark = build_session("bench")
+
+    # warm the JVM/codegen/JIT paths per query on the smallest scale so
+    # measured numbers reflect steady-state execution (identical plan
+    # shapes hit the whole-stage-codegen cache), not classloading.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for key in HEADLINE:
+            try:
+                specs[key].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - warmup must never fail the bench
+                pass
+        spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = specs[key].fn
+        best = float("inf")
+        for _rep in range(2):  # best-of-2: mask GC/JIT-deopt spikes
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 3)
+        if verbose:
+            print(f"{key}: {timings[key]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

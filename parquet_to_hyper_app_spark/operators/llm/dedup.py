@@ -85,24 +85,31 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("shingles", F.expr(_SHINGLES)).drop("__words")
 
 
+#: single-pass signature: one fold over the shingles computes all 32
+#: seeded minhashes (32 separate array_min(transform(...)) calls would
+#: rescan the array 32× and emit a much larger codegen body).
+_SIGNATURE = f"""
+aggregate(
+  shingles,
+  array_repeat(9223372036854775807L, {_N_HASHES}),
+  (acc, s) -> zip_with(acc,
+                       transform(sequence(0, {_N_HASHES - 1}), k -> xxhash64(k, s)),
+                       (a, b) -> least(a, b))
+)
+"""
+
+
 def _with_signature(shingled: DataFrame) -> DataFrame:
     """32 seeded-xxhash64 minhashes per document (deterministic)."""
-    sig = F.array(
-        *[
-            F.array_min(F.expr(f"transform(shingles, s -> xxhash64({k}, s))"))
-            for k in range(_N_HASHES)
-        ]
-    )
-    return shingled.withColumn("signature", sig)
+    return shingled.withColumn("signature", F.expr(_SIGNATURE))
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
     """LSH banding: equal band-hash ⇒ candidate pair (doc_a < doc_b).
 
     The shuffle key is (band_id, band_hash): documents only ever meet
     inside a bucket, so work scales with bucket sizes, not n².
     """
-    sigged = _with_signature(_with_shingles(docs)).select("doc_id", "shingles", "signature")
     bands = []
     for b in range(_BANDS):
         elems = [
@@ -123,10 +130,26 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs from banded minhash signatures."""
+    sigged = _with_signature(_with_shingles(docs)).select("doc_id", "shingles", "signature")
+    return _candidates_from_signatures(sigged)
+
+
 def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Candidate pairs whose exact shingle-Jaccard clears threshold."""
-    shingled = _with_shingles(docs).select("doc_id", "shingles")
-    pairs = minhash_candidates(docs)
+    """Candidate pairs whose exact shingle-Jaccard clears threshold.
+
+    Shingles+signatures are computed ONCE and persisted: the DAG
+    branches four ways (bucket self-join a/b, verify join a/b) and
+    would otherwise re-shingle the corpus each branch. The persisted
+    set is (doc_id, shingles, signature) — tiny next to the corpus, and
+    at cluster scale this is the dataset you'd checkpoint anyway.
+    """
+    sigged = _with_signature(_with_shingles(docs)).select(
+        "doc_id", "shingles", "signature"
+    ).persist()
+    pairs = _candidates_from_signatures(sigged)
+    shingled = sigged.select("doc_id", "shingles")
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
