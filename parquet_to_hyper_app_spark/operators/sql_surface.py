@@ -1,0 +1,186 @@
+"""SQL-first operator surface: the engine's `spark.sql` entry path.
+
+Everything else in the repo uses the DataFrame API; these queries
+exercise the same Catalyst frontend through SQL text — grouping sets,
+correlated/scalar subqueries, ordered-set aggregates, argmin/argmax,
+lateral explode and unpivot — proving the engine exposes a full SQL
+surface (the reference has no SQL layer at all, SURVEY.md §2A).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    vname = f"__{name}"
+    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15b: explicit GROUPING SETS (the generalization rollup/cube
+    compile to) via the SQL frontend."""
+    v = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM {v}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "sql_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderstatus = 'F')
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery. Catalyst rewrites the
+    EXISTS into a left-semi join and broadcasts the single-row scalar
+    aggregate — no per-row subquery execution at any scale."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM {c}
+        WHERE EXISTS (SELECT 1 FROM {o} WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'F')
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM {c})
+        """
+    )
+
+
+@query(
+    "sql_argminmax",
+    oracle="""
+    WITH mx AS (
+        SELECT o_orderstatus, o_orderkey AS biggest_order FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
+    ), mn AS (
+        SELECT o_orderstatus, o_orderkey AS smallest_order FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+            FROM orders) WHERE rn = 1
+    ), ag AS (
+        SELECT o_orderstatus, max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT ag.o_orderstatus, mx.biggest_order, mn.smallest_order,
+           ag.max_price, ag.min_price
+    FROM ag JOIN mx USING (o_orderstatus) JOIN mn USING (o_orderstatus)
+    """,
+)
+def sql_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per group. The ordering key is a
+    (price, orderkey) struct so ties are deterministic; the oracle
+    reproduces the same pick with ranked CTEs (DuckDB 1.0's arg_max
+    has no composite-key overload)."""
+    v = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               max_by(o_orderkey, struct(o_totalprice, CAST(o_orderkey AS DOUBLE)))
+                   AS biggest_order,
+               min_by(o_orderkey, struct(o_totalprice, CAST(o_orderkey AS DOUBLE)))
+                   AS smallest_order,
+               max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM {v} GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "sql_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    `quantile_cont`). The approximate sketch variant
+    (approx_percentile / percentile_approx) is deliberately NOT
+    oracle-paired — sketches differ across engines."""
+    v = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               round(percentile(l_quantity, 0.5), 6) AS median_qty,
+               round(percentile(l_extendedprice, 0.9), 6) AS p90_price
+        FROM {v} GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_explode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+           CAST(head8[i] AS DOUBLE) AS dim_val
+    FROM (SELECT vec_id, embedding[1:8] AS head8 FROM embeddings),
+         LATERAL (SELECT unnest(generate_series(1, len(head8))) AS i) s
+    """,
+)
+def sql_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode — array → rows with position."""
+    v = _view(spark, sf_dir, "embeddings")
+    return spark.sql(
+        f"""
+        SELECT vec_id, pos, CAST(dim_val AS DOUBLE) AS dim_val
+        FROM {v}
+        LATERAL VIEW posexplode(slice(embedding, 1, 8)) AS pos, dim_val
+        """
+    )
+
+
+@query(
+    "sql_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): three measure columns become
+    (metric, metric_value) rows; Spark plans one Expand node — a
+    single pass, not three scans like the oracle's UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "metric_value",
+    )

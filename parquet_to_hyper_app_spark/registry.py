@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
     # and circular imports (modules import `query` from here) resolve.
     from parquet_to_hyper_app_spark.operators import cleaning  # noqa: F401
     from parquet_to_hyper_app_spark.operators import relational  # noqa: F401
+    from parquet_to_hyper_app_spark.operators import sql_surface  # noqa: F401
     from parquet_to_hyper_app_spark.operators import windows  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import dedup  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import multimodal  # noqa: F401
@@ -64,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
     from parquet_to_hyper_app_spark.functions import scalars  # noqa: F401
     from parquet_to_hyper_app_spark.functions import udfs  # noqa: F401
     from parquet_to_hyper_app_spark.sources import convert  # noqa: F401
+    from parquet_to_hyper_app_spark.sources import formats  # noqa: F401
     from parquet_to_hyper_app_spark.streaming import windows as swindows  # noqa: F401
 
     return QUERIES

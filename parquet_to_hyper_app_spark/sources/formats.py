@@ -1,0 +1,72 @@
+"""File-format source/sink coverage beyond parquet: ORC, JSON, CSV.
+
+Each query is a write→read round-trip whose oracle is simply the
+original table — a strong end-to-end check that the writer+reader pair
+is value-preserving for every column type involved (timestamps through
+ISO strings for JSON/CSV, binary-columnar for ORC).
+
+Delta/Iceberg/Hudi connectors need jars absent from this container;
+`read_delta` documents the gap and raises cleanly (import-try gate).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+def _roundtrip(df: DataFrame, fmt: str, name: str, **read_opts) -> DataFrame:
+    path = os.path.join(tempfile.gettempdir(), "p2h_spark_fmt", fmt, name)
+    df.write.format(fmt).mode("overwrite").options(**read_opts).save(path)
+    return (
+        df.sparkSession.read.format(fmt)
+        .schema(df.schema)  # explicit schema: no inference drift
+        .options(**read_opts)
+        .load(path)
+    )
+
+
+@query("source_orc_roundtrip", oracle="SELECT * FROM orders")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip of `orders` (columnar binary format —
+    exact for doubles and NTZ timestamps)."""
+    return _roundtrip(load_table(spark, sf_dir, "orders"), "orc", "orders")
+
+
+@query("source_json_roundtrip", oracle="SELECT * FROM events")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip of `events`: µs timestamps via
+    ISO strings (the default format truncates to milliseconds — pass an
+    explicit µs pattern), doubles via shortest-round-trip repr."""
+    return _roundtrip(
+        load_table(spark, sf_dir, "events"),
+        "json",
+        "events",
+        timestampNTZFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    )
+
+
+@query("source_csv_roundtrip", oracle="SELECT * FROM supplier")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip of `supplier` (header + explicit
+    schema on read; doubles survive via shortest-repr serialization)."""
+    return _roundtrip(load_table(spark, sf_dir, "supplier"), "csv", "supplier", header="true")
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake source — gated: the delta-spark jars are not in this
+    container. On a cluster with the package installed this is just
+    spark.read.format('delta').load(path)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "delta-spark is not installed in this environment; "
+            "install the delta-spark package + jars to enable"
+        ) from e
+    return spark.read.format("delta").load(path)  # pragma: no cover
