@@ -1,0 +1,77 @@
+"""Plan-shape invariants for the 100 TB posture (executed-plan based).
+
+These pin the properties that make the declared queries scale: no
+accidental cartesian products, dimension joins broadcast, filters
+pushed to parquet, bounded shuffle counts. A regression here means a
+query got slower at scale even if its values still match the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_to_hyper_app_spark.plans.inspect import plan_stats, read_schema_columns
+from parquet_to_hyper_app_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+#: queries allowed a broadcast-nested-loop join: the broadcast side is
+#: a deliberately tiny query/probe set, which is the intended pattern.
+BNLJ_ALLOWED = {"similarity_topk", "dedup_embedding"}
+#: side-effecting / streaming queries excluded from pure-plan checks
+SKIP = {"stream_watermark_late", "convert_sink", "convert_sink_events"}
+
+
+@pytest.fixture(scope="module")
+def executed_stats(spark):
+    specs = load_all()
+    stats = {}
+    for key, spec in specs.items():
+        if key in SKIP:
+            continue
+        df = spec.fn(spark, SF_SMOKE)
+        df.foreachPartition(lambda _it: None)  # finalize AQE plan
+        stats[key] = plan_stats(df)
+    return stats
+
+
+def test_no_unintended_nested_loop_joins(executed_stats):
+    bad = {
+        k: s.nested_loop_joins
+        for k, s in executed_stats.items()
+        if s.nested_loop_joins > 0 and k not in BNLJ_ALLOWED
+    }
+    assert not bad, f"unintended cartesian/BNLJ plans: {bad}"
+
+
+def test_dimension_joins_are_broadcast(executed_stats):
+    assert executed_stats["join_multiway"].broadcast_joins >= 2  # nation+region
+    assert executed_stats["join_multiway"].sortmerge_joins == 0  # AQE: all BHJ at this SF
+
+
+def test_shuffle_budgets(executed_stats):
+    # single-agg queries: exactly one partial+final exchange
+    for key in ("agg_groupby", "agg_rollup", "agg_cube", "sessionize"):
+        assert executed_stats[key].shuffles <= 1, key
+    # windows reuse one partitioning for all frames
+    for key in ("window_lag_lead", "window_moving_agg", "window_running_total"):
+        assert executed_stats[key].shuffles == 1, key
+    # narrow projections must not shuffle at all
+    for key in ("clean_numeric", "normalize_schema", "scalar_math", "text_quality"):
+        assert executed_stats[key].shuffles == 0, key
+
+
+def test_whole_stage_codegen_everywhere(executed_stats):
+    no_codegen = {
+        k
+        for k, s in executed_stats.items()
+        # format round-trips read json/csv text sources whose scans sit
+        # outside codegen by design; everything parquet must codegen
+        if s.codegen_stages == 0 and s.scans > 0 and not k.startswith("source_")
+    }
+    assert not no_codegen, f"queries without any codegen span: {no_codegen}"
+
+
+def test_column_pruning_reaches_scan(spark):
+    specs = load_all()
+    cols = read_schema_columns(specs["filter_project"].fn(spark, SF_SMOKE))
+    assert set(cols) == {"l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"}
