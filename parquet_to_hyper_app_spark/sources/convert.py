@@ -69,6 +69,73 @@ def write_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 10_000, **o
     )
 
 
+def write_hyper(df: DataFrame, hyper_path: str, batch_rows: int = 10_000) -> int:
+    """Optional Tableau Hyper sink — the reference's actual output
+    format (app.py:98-131). Gated: tableauhyperapi is not installed in
+    this container; on a machine with it, this streams the DataFrame
+    through `toLocalIterator` (bounded driver memory) into a Hyper
+    `Extract.Extract` table in `batch_rows` chunks, mirroring the
+    reference's Inserter loop semantics. Returns rows written.
+
+    Driver-local by necessity (hyperd is a single-process sidecar) —
+    this is a delivery step, not a distributed engine operator; the
+    distributed pipeline ends at the parquet/JDBC sink.
+    """
+    try:
+        from tableauhyperapi import (  # noqa: F401
+            Connection,
+            CreateMode,
+            HyperProcess,
+            Inserter,
+            SqlType,
+            TableDefinition,
+            TableName,
+            Telemetry,
+        )
+    except ImportError as e:
+        raise NotImplementedError(
+            "tableauhyperapi is not installed in this environment; "
+            "pip install tableauhyperapi to enable the Hyper sink"
+        ) from e
+
+    from pyspark.sql import types as T
+
+    type_map = {
+        T.LongType: SqlType.big_int,
+        T.IntegerType: SqlType.big_int,
+        T.DoubleType: SqlType.double,
+        T.FloatType: SqlType.double,
+        T.BooleanType: SqlType.bool,
+        T.TimestampType: SqlType.timestamp,
+        T.TimestampNTZType: SqlType.timestamp,
+    }
+    cols = [
+        TableDefinition.Column(
+            f.name, type_map.get(type(f.dataType), SqlType.text)()
+        )
+        for f in df.schema.fields
+    ]
+    table = TableName("Extract", "Extract")
+    rows_written = 0
+    with HyperProcess(telemetry=Telemetry.DO_NOT_SEND_USAGE_DATA_TO_TABLEAU) as hyper:
+        with Connection(hyper.endpoint, hyper_path, CreateMode.CREATE_AND_REPLACE) as conn:
+            conn.catalog.create_schema("Extract")
+            conn.catalog.create_table(TableDefinition(table, cols))
+            with Inserter(conn, TableDefinition(table, cols)) as inserter:
+                batch: list[list] = []
+                for row in df.toLocalIterator():
+                    batch.append(list(row))
+                    if len(batch) >= batch_rows:
+                        inserter.add_rows(batch)
+                        rows_written += len(batch)
+                        batch = []
+                if batch:
+                    inserter.add_rows(batch)
+                    rows_written += len(batch)
+                inserter.execute()
+    return rows_written
+
+
 def compress_to_zip(path: str, zip_path: str | None = None) -> str:
     """Zip-DEFLATE a sink file/directory (reference app.py:54-65 parity).
 

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The north-star surface calls for arbitrary per-key streaming state
+beyond built-in windows. The canonical example here: a running
+per-user profile (event count, value sum, last-seen timestamp) that
+updates as micro-batches arrive and emits the refreshed profile each
+batch.
+
+State lives in the state store keyed by user_id; memory is bounded by
+(distinct keys × state row), never by stream length. GroupStateTimeout
+would evict idle keys on a live stream (not needed for the bounded
+availableNow run the oracle checks).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen timestamp"
+STATE_SCHEMA = "n_events bigint, total_value double, last_seen timestamp"
+
+
+def _update_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch's rows for this user into running state."""
+    (user_id,) = key
+    if state.exists:
+        n, total, last_seen = state.get
+    else:
+        n, total, last_seen = 0, 0.0, None
+    for pdf in pdfs:
+        n += len(pdf)
+        # cents-exact accumulation: 2-decimal values scaled to int cents
+        total += int(round(pdf["value"].mul(100).sum()))/ 100.0 if len(pdf) else 0.0
+        batch_max = pdf["ts"].max()
+        last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+    state.update((n, total, last_seen))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_seen": [last_seen],
+        }
+    )
+
+
+@query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           max(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38b: applyInPandasWithState running per-user profile, driven
+    with availableNow over the file source. A single micro-batch folds
+    every event exactly once, so the final emitted state equals the
+    batch GROUP BY — which is the oracle. Values accumulate in integer
+    cents inside the state update so the result is order-independent.
+    """
+    _ = load_table(spark, sf_dir, "events")  # session confs
+    qname = f"state_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
+    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory sink holds one profile row per user per batch; the
+    # final batch's rows are the complete profiles (single batch here)
+    out = spark.table(qname)
+    return out.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
+    )
