@@ -188,3 +188,44 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38c: streaming exact deduplication — dropDuplicates on the key
+    columns over a file stream (state = one entry per distinct key; on
+    a live stream dropDuplicatesWithinWatermark bounds that state).
+    Only the key columns are projected so the emitted set is
+    deterministic regardless of which physical row arrived first.
+    """
+    _ = load_table(spark, sf_dir, "events")
+    qname = f"dd_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
+    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
