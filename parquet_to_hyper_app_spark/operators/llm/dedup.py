@@ -278,6 +278,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Min-label propagation over an undirected pair graph.
+
+    `pairs` (doc_a, doc_b) are edges; every node starts labeled with its
+    own id and repeatedly adopts the minimum label among itself and its
+    neighbors until fixpoint (or max_iters). Iterations are bounded by
+    the graph diameter — near-dup clusters are shallow (usually ≤3
+    hops), so this converges in a few small joins; each iteration is a
+    shuffle on doc_id only. This is the iterative-algorithm pattern
+    Spark expresses as a driver loop over declarative steps.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31e (rows-only): near-dup cluster assignment — connected
+    components (min-label propagation) over the verified MinHash pair
+    graph; cluster_id = smallest doc_id in the component, so the
+    survivor set equals {doc_id == cluster_id}. Weak check: the pair
+    graph comes from seeded-LSH; chain-transitivity is unit-tested
+    with a planted a~b~c chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dup_pairs(docs).select("doc_a", "doc_b")
+    return connected_components(pairs, docs.select("doc_id")).select("doc_id", "cluster_id")
+
+
 @query(
     "dedup_embedding",
     oracle="""

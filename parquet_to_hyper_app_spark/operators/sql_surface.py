@@ -141,6 +141,22 @@ def sql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17b (rows-only): approximate percentiles via the KLL/GK-style
+    sketch (`percentile_approx`). Sketch outputs are engine-specific so
+    no oracle; accuracy vs the exact interpolated percentile is
+    unit-tested (tests/test_relational.py)."""
+    v = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS approx_p50_p90
+        FROM {v} GROUP BY l_returnflag
+        """
+    )
+
+
 @query(
     "sql_explode",
     oracle="""

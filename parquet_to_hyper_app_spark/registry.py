@@ -67,6 +67,8 @@ def load_all() -> dict[str, QuerySpec]:
     from parquet_to_hyper_app_spark.functions import udfs  # noqa: F401
     from parquet_to_hyper_app_spark.sources import convert  # noqa: F401
     from parquet_to_hyper_app_spark.sources import formats  # noqa: F401
+    from parquet_to_hyper_app_spark.sources import partitioned  # noqa: F401
+    from parquet_to_hyper_app_spark.streaming import sinks  # noqa: F401
     from parquet_to_hyper_app_spark.streaming import stateful  # noqa: F401
     from parquet_to_hyper_app_spark.streaming import windows as swindows  # noqa: F401
 

@@ -48,10 +48,34 @@ def convert(
     Row-count verification (reference app.py:156-160 checks
     rows_processed) falls out of re-reading the sink: callers compare
     ``convert(...).count()`` with the source count.
+
+    Raises the typed errors from sources/errors.py (the reference's
+    R14 ladder, app.py:163-174) instead of string-matching messages.
     """
+    from pyspark.errors import AnalysisException
+
+    from parquet_to_hyper_app_spark.sources.errors import (
+        ConversionMemoryError,
+        ConversionSchemaError,
+        ConversionSourceError,
+    )
+
     ensure_session_configs(spark)
-    df = normalize_schema(clean_numeric(spark.read.parquet(input_path)))
-    df.write.format(fmt).mode(mode).save(output_path)
+    try:
+        src = spark.read.parquet(input_path)
+    except AnalysisException as e:
+        raise ConversionSourceError(f"cannot open parquet source {input_path!r}: {e}") from e
+    try:
+        df = normalize_schema(clean_numeric(src))
+    except Exception as e:  # schema/cast planning failures
+        raise ConversionSchemaError(f"schema cannot be normalized: {e}") from e
+    try:
+        df.write.format(fmt).mode(mode).save(output_path)
+    except MemoryError as e:  # pragma: no cover - hard to provoke locally
+        raise ConversionMemoryError(
+            "out of memory during conversion; reduce spark.sql.files.maxPartitionBytes "
+            "so row groups fit executor memory"
+        ) from e
     return spark.read.format(fmt).load(output_path)
 
 

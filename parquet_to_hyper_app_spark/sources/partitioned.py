@@ -1,0 +1,64 @@
+"""Partitioned sink + partition-pruned scan (the 100 TB layout story).
+
+At scale a table is a directory tree partitioned by low-cardinality
+columns; a filter on the partition column must prune directories at
+planning time (PartitionFilters in the scan, zero I/O for other
+partitions). This module writes a hive-layout partitioned sink and
+reads it back pruned — `tests/test_plans.py` asserts the pruning
+actually happens in the plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) orders partitioned by o_orderstatus."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "p2h_spark_part",
+        os.path.basename(sf_dir.rstrip("/")),
+        "orders",
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderstatus")
+    return path
+
+
+@query(
+    "partitioned_sink_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + pruned read: only the o_orderstatus=F
+    directory is scanned (PartitionFilters, not a data filter)."""
+    path = partitioned_orders_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+    )
