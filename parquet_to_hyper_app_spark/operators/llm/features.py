@@ -1,0 +1,99 @@
+"""MLlib-backed feature engineering for the LLM pipeline.
+
+Spark MLlib is part of the public API surface and supplies the two
+pieces hand-rolled operators shouldn't re-implement: hashed TF-IDF
+vectorization and a trained coarse quantizer (KMeans) for a real IVF
+similarity index. Both are seeded/deterministic-configured; they're
+rows-only checks because hashing-bucket indices and trained centroids
+are engine-specific by nature (recall/shape pinned by unit tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+_N_QUERIES = 10
+_TOP_K = 3
+
+
+@query("text_tfidf")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33g (rows-only): hashed TF-IDF document vectors — tokenize →
+    HashingTF (2^12 buckets, fixed) → IDF → per-doc top-weighted
+    bucket. The standard cheap vectorization before clustering/
+    classification; one fit pass (IDF document frequencies) + one
+    transform pass, both distributed."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12).transform(tokens)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+
+    @F.udf("struct<bucket: int, weight: double>")
+    def top_bucket(v):
+        if v is None or v.numNonzeros() == 0:
+            return (-1, 0.0)
+        # SparseVector: argmax over stored values, ties -> lowest index
+        best_i, best_w = -1, float("-inf")
+        for i, w in zip(v.indices, v.values):
+            if w > best_w or (w == best_w and i < best_i):
+                best_i, best_w = int(i), float(w)
+        return (best_i, best_w)
+
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        top_bucket("tfidf").alias("top"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("top.bucket").alias("top_bucket"),
+        F.round(F.col("top.weight"), 6).alias("top_weight"),
+    )
+
+
+def kmeans_index(emb: DataFrame, k: int = 16, seed: int = 42):
+    """Train the IVF coarse quantizer; returns (model, assigned df)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn("features", array_to_vector("e"))
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="centroid_id").fit(v)
+    return model, model.transform(v).select("vec_id", "e", "centroid_id")
+
+
+@query("similarity_kmeans_ivf")
+def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32c (rows-only): true IVF — seeded KMeans coarse quantizer,
+    queries probe only their own centroid's inverted list, exact cosine
+    within the list. Scanned fraction ≈ 1/k; recall vs brute force is
+    unit-tested. At 100 TB the centroid assignment is one broadcast-
+    model map pass and lists are written bucketed by centroid_id."""
+    from parquet_to_hyper_app_spark.operators.llm.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _model, assigned = kmeans_index(emb)
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("ea"), "centroid_id"
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), "centroid_id"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -65,11 +65,19 @@ def build_session(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Local-bench split sizing: testdata files are a few MB, far below
+    # the 128m default, which would make every scan a single task. 8m
+    # splits give the 32 local cores work. On a real cluster (128MB+
+    # row groups, thousands of files) keep the default — override via
+    # SPARK_GRAFT_MAX_PARTITION_BYTES.
+    max_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", max_split)
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
     )
     for key, value in REQUIRED_SQL_CONFS.items():

@@ -122,3 +122,27 @@ def test_fake_decode_contract(spark, planted_docs):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         next(decode_image(iter([])))
+
+
+def test_kmeans_ivf_recall(spark):
+    from parquet_to_hyper_app_spark.operators.llm.features import similarity_kmeans_ivf
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()}
+    approx = {
+        (r.q_id, r.neighbor_id) for r in similarity_kmeans_ivf(spark, SF_SMOKE).collect()
+    }
+    # scans ~1/16 of candidates; random-ish embeddings bound recall low,
+    # but the index must return plausible neighbors for every query
+    assert len({q for q, _ in approx}) == 10
+    assert len(exact & approx) / len(exact) >= 0.1
+
+
+def test_tfidf_shapes(spark):
+    from parquet_to_hyper_app_spark.operators.llm.features import text_tfidf
+
+    out = text_tfidf(spark, SF_SMOKE).collect()
+    assert len(out) == load_table(spark, SF_SMOKE, "documents").count()
+    assert all(r.top_bucket >= 0 and r.top_weight >= 0 for r in out)
+    assert all(r.n_tokens > 0 for r in out)
