@@ -87,22 +87,30 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: star join (TPC-H Q5 shape). nation/region are bounded dims
     (25/5 rows at ANY scale factor) → explicit broadcast removes two
-    shuffles; the fact⋈orders⋈customer chain shuffles on its keys and
-    aggregates partially map-side."""
+    shuffles. The revenue aggregation is pushed BELOW the joins by
+    hand (partial-agg-through-join is not a Catalyst rewrite): lineitem
+    pre-aggregates per orderkey first, so the join chain moves one row
+    per order instead of ~4 lineitems per order — a 4× cut in join
+    input at any scale. Decimal sums are associative, so re-aggregating
+    the partials is bit-identical to aggregating raw rows."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            exact_sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("cnt").alias("n_items"),
         )
     )
 
