@@ -1,0 +1,139 @@
+"""Time-series operators: grid resampling with forward-fill, upsert
+merge, deterministic sampling.
+
+The gap-fill shape is the "hypertable rollup" pattern: a dense time
+grid per entity, left-joined with observed buckets, forward-filled
+with `last(value, ignorenulls)` over the grid order. Everything is
+window/join composition — one shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, gs.h
+        FROM (SELECT DISTINCT user_id FROM events) u, bounds,
+             LATERAL (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h) gs
+    ),
+    obs AS (
+        SELECT user_id, h, value AS obs_value FROM (
+            SELECT user_id, date_trunc('hour', ts) AS h, value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.h AS bucket,
+           last_value(o.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense per-user hourly grid, forward-filling
+    the last observed value (null until first observation). The grid
+    is generated with sequence() (no driver loop); per-bucket 'last
+    observation' picks deterministically by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("bucket"))
+    )
+    wo = W.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("value").alias("obs_value"),
+        )
+    )
+    wg = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+            F.last("obs_value", ignorenulls=True).over(wg).alias("ffill_value"),
+        )
+    )
+
+
+@query(
+    "upsert_merge",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a lakehouse format: base ⟕anti updates,
+    union the updates back — the standard Delta-less CDC apply. The
+    update set here is derived deterministically (every 7th customer
+    gets +100 balance and a segment change) so the oracle can state
+    the merged result directly."""
+    base = load_table(spark, sf_dir, "customer")
+    updates = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    untouched = base.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    return untouched.unionByName(updates)
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% systematic sample via multiplicative hashing
+    of the row key — reproducible across engines/runs/partitionings
+    (unlike rand()-based sampling), which is what a training-data
+    pipeline needs for auditable subsets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 100
+    return li.filter(bucket < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+def stratified_sample(df: DataFrame, col: str, fractions: dict, seed: int = 42) -> DataFrame:
+    """API-parity wrapper over sampleBy (per-stratum Bernoulli
+    sampling). Seeded but partitioning-dependent — use sample_hash's
+    arithmetic scheme when cross-run reproducibility matters."""
+    return df.sampleBy(col, fractions, seed)

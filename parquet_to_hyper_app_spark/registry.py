@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
     from parquet_to_hyper_app_spark.operators import cleaning  # noqa: F401
     from parquet_to_hyper_app_spark.operators import relational  # noqa: F401
     from parquet_to_hyper_app_spark.operators import sql_surface  # noqa: F401
+    from parquet_to_hyper_app_spark.operators import timeseries  # noqa: F401
     from parquet_to_hyper_app_spark.operators import tpch  # noqa: F401
     from parquet_to_hyper_app_spark.operators import windows  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import dedup  # noqa: F401
