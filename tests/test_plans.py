@@ -16,7 +16,11 @@ from tests.conftest import SF_SMOKE
 
 #: queries allowed a broadcast-nested-loop join: the broadcast side is
 #: a deliberately tiny query/probe set, which is the intended pattern.
-BNLJ_ALLOWED = {"similarity_topk", "dedup_embedding"}
+BNLJ_ALLOWED = {
+    "similarity_topk",
+    "dedup_embedding",
+    "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
+}
 #: side-effecting / streaming queries excluded from pure-plan checks
 SKIP = {"stream_watermark_late", "convert_sink", "convert_sink_events"}
 
