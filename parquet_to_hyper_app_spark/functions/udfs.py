@@ -93,8 +93,14 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization, the canonical 'whole group in pandas' pattern
     (each user's events become one pandas DataFrame on an executor)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
+    out = ev.groupBy("user_id").applyInPandas(
         _zscore_group, "event_id long, user_id long, value double, zscore double"
+    )
+    # pandas can't represent NULL in a float64 Series (None becomes NaN
+    # and Arrow preserves NaN as NaN) — normalize to SQL NULL so the
+    # single-observation case matches the oracle's stddev_samp IS NULL
+    return out.withColumn(
+        "zscore", F.when(F.isnan("zscore"), F.lit(None)).otherwise(F.col("zscore"))
     )
 
 

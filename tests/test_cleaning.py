@@ -128,3 +128,24 @@ def test_column_names_with_spaces_and_unicode(spark):
     )
     out = normalize_schema(clean_numeric(df))
     assert dict(out.dtypes) == {"col with space": "bigint", "cölümn": "double"}
+
+
+def test_grouped_map_single_row_group_yields_null(spark):
+    """A single-observation group has undefined stddev: the zscore must
+    surface as SQL NULL (not NaN) to match the oracle semantics."""
+    from parquet_to_hyper_app_spark.functions.udfs import _zscore_group
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 1.0), (3, 20, 2.0)],
+        "event_id long, user_id long, value double",
+    )
+    out = ev.groupBy("user_id").applyInPandas(
+        _zscore_group, "event_id long, user_id long, value double, zscore double"
+    )
+    out = out.withColumn(
+        "zscore", F.when(F.isnan("zscore"), F.lit(None)).otherwise(F.col("zscore"))
+    )
+    rows = {r.event_id: r.zscore for r in out.collect()}
+    assert rows[1] is None  # single-row group
+    assert rows[2] is not None and rows[3] is not None
