@@ -39,7 +39,9 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 5).alias("name_head"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # concat (NULL-propagating) matches the oracle's `||`;
+        # concat_ws would silently skip NULL operands
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
         F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),

@@ -36,10 +36,16 @@ _TOKEN_ROW = T.StructType(
 
 @pandas_udf(T.LongType())
 def token_count_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized whitespace token count (Arrow-batched)."""
-    return texts.map(
-        lambda t: len([w for w in re.split(r"\s+", (t or "").strip()) if w])
-    ).astype("int64")
+    """Vectorized whitespace token count (Arrow-batched). NULL text
+    stays NULL (nullable Int64 → Arrow null), matching the oracle's
+    len(regexp_split_to_array(NULL, ...)) = NULL."""
+    return pd.Series(
+        [
+            None if t is None else len([w for w in re.split(r"\s+", t.strip()) if w])
+            for t in texts
+        ],
+        dtype="Int64",
+    )
 
 
 @query(

@@ -154,13 +154,20 @@ def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFram
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    verified = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # materialize the (small) verified pair set eagerly so the corpus-
+    # wide signature cache can be released immediately — otherwise each
+    # caller would leave a pinned copy in storage memory for the
+    # session's lifetime
+    verified = verified.localCheckpoint(eager=True)
+    sigged.unpersist()
+    return verified
 
 
 @query("dedup_minhash_lsh")
@@ -293,34 +300,43 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).persist()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+            # persist + truncate lineage each round: without this,
+            # iteration i re-executes all prior rounds (O(k²) work) and
+            # the nested plan keeps growing
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
 
 
 @query("dedup_clusters")

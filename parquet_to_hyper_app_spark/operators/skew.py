@@ -33,6 +33,11 @@ def salted_join(
                  hashed into a deterministic bucket, keeping results
                  reproducible run-to-run (no rand()).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # replicating the build side is only sound when unmatched build
+        # rows are dropped (inner) or irrelevant (left): right/full/semi
+        # would emit one row per salted replica for unmatched build keys
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salt_col = F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets)).cast("int")
     salted_probe = probe.withColumn("__salt", salt_col)
     salted_build = build.withColumn(

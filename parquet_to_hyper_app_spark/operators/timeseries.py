@@ -117,16 +117,21 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem
-    WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+    WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 100 < 10
     """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% systematic sample via multiplicative hashing
     of the row key — reproducible across engines/runs/partitionings
     (unlike rand()-based sampling), which is what a training-data
-    pipeline needs for auditable subsets."""
+    pipeline needs for auditable subsets. The key is reduced mod a
+    prime BEFORE multiplying so the product stays ≲2.7e15 ≪ 2^63 for
+    any orderkey — int64 overflow would wrap in Spark but error in
+    DuckDB, silently breaking cross-engine reproducibility."""
     li = load_table(spark, sf_dir, "lineitem")
-    bucket = (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 100
+    bucket = (
+        (F.col("l_orderkey") % 1000003) * F.lit(2654435761) + F.col("l_linenumber")
+    ) % 100
     return li.filter(bucket < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )

@@ -48,7 +48,13 @@ def plan_stats(df: DataFrame) -> PlanStats:
     # by an "== Initial Plan ==" section — count only the final plan
     plan = physical_plan(df).split("== Initial Plan ==")[0]
     return PlanStats(
-        shuffles=len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan)),
+        shuffles=len(
+            re.findall(
+                r"\bExchange hashpartitioning|\bExchange rangepartitioning"
+                r"|\bExchange SinglePartition",
+                plan,
+            )
+        ),
         broadcast_joins=plan.count("BroadcastHashJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin")

@@ -71,11 +71,16 @@ def convert(
         raise ConversionSchemaError(f"schema cannot be normalized: {e}") from e
     try:
         df.write.format(fmt).mode(mode).save(output_path)
-    except MemoryError as e:  # pragma: no cover - hard to provoke locally
-        raise ConversionMemoryError(
-            "out of memory during conversion; reduce spark.sql.files.maxPartitionBytes "
-            "so row groups fit executor memory"
-        ) from e
+    except Exception as e:  # pragma: no cover - hard to provoke locally
+        # JVM OOMs surface as Py4J/Spark exceptions wrapping
+        # java.lang.OutOfMemoryError, not Python MemoryError
+        if isinstance(e, MemoryError) or "OutOfMemoryError" in repr(e):
+            raise ConversionMemoryError(
+                "out of memory during conversion; reduce "
+                "spark.sql.files.maxPartitionBytes so row groups fit "
+                "executor memory"
+            ) from e
+        raise
     return spark.read.format(fmt).load(output_path)
 
 

@@ -25,11 +25,16 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
 
 
 def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per sf_dir) orders partitioned by o_orderstatus."""
+    """Write (once per source state) orders partitioned by
+    o_orderstatus. The cache key includes the source file's
+    mtime+size so a regenerated testdata dir with the same name never
+    serves a stale sink."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
     path = os.path.join(
         tempfile.gettempdir(),
         "p2h_spark_part",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{int(st.st_mtime)}_{st.st_size}",
         "orders",
     )
     marker = os.path.join(path, "_SUCCESS")
