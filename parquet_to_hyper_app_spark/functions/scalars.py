@@ -118,6 +118,90 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name) AS name_rev,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           repeat(p_type, 2) AS type_twice,
+           left(p_name, 4) AS name_left,
+           CAST(strpos(p_name, ' ') AS BIGINT) AS space_pos,
+           CAST(ascii(p_name) AS BIGINT) AS first_char,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist
+    FROM part
+    """,
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25b: extended string library — reverse/lpad/repeat/left/
+    instr/ascii/levenshtein (edit distance is the workhorse for
+    fuzzy matching in data cleaning)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_pad"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+        F.substring("p_name", 1, 4).alias("name_left"),
+        F.instr(F.col("p_name"), " ").cast("long").alias("space_pos"),
+        F.ascii(F.col("p_name")).cast("long").alias("first_char"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("long").alias("name_type_dist"),
+    )
+
+
+@query(
+    "scalar_trycast",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero
+    FROM part
+    """,
+)
+def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25c: error-safe casts — try_cast yields NULL instead of
+    failing (ANSI-mode-safe pipelines), try_divide NULLs on zero."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.col("p_size").cast("string").cast("int").alias("size_roundtrip"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - F.col("p_size")).alias(
+            "div_by_zero"
+        ),
+    )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           map_keys(m)[1] AS first_key,
+           CAST(map_values(m)[1] AS BIGINT) AS k_value,
+           CAST(cardinality(m) AS BIGINT) AS n_keys
+    FROM (
+        SELECT event_id,
+               map(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)]) AS m
+        FROM events
+    )
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29b: MapType surface — construct a map from the parsed JSON,
+    read keys/values/cardinality (typed key-value columns are the
+    natural shape for sparse per-row metadata at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(F.lit("k"), k)
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(F.map_values(m), 1).alias("k_value"),
+        F.size(m).cast("long").alias("n_keys"),
+    )
+
+
+@query(
     "scalar_json",
     oracle="""
     SELECT event_id,
