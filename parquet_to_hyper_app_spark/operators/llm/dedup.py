@@ -136,7 +136,9 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     return _candidates_from_signatures(sigged)
 
 
-def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def verified_near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, materialize: bool = True
+) -> DataFrame:
     """Candidate pairs whose exact shingle-Jaccard clears threshold.
 
     Shingles+signatures are computed ONCE and persisted: the DAG
@@ -144,6 +146,10 @@ def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFram
     would otherwise re-shingle the corpus each branch. The persisted
     set is (doc_id, shingles, signature) — tiny next to the corpus, and
     at cluster scale this is the dataset you'd checkpoint anyway.
+
+    materialize=True (default) eagerly executes and truncates the plan
+    so the signature cache can be released immediately; pass False to
+    get the full lazy plan (plan inspection/tests).
     """
     sigged = _with_signature(_with_shingles(docs)).select(
         "doc_id", "shingles", "signature"
@@ -161,6 +167,8 @@ def verified_near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFram
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if not materialize:
+        return verified
     # materialize the (small) verified pair set eagerly so the corpus-
     # wide signature cache can be released immediately — otherwise each
     # caller would leave a pinned copy in storage memory for the
@@ -303,6 +311,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
         .persist()
     )
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).persist()
+    converged = False
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -333,7 +342,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # returning partial labels would silently violate the
+            # "cluster_id = component minimum" invariant for chains
+            # deeper than max_iters
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations; raise max_iters (component diameter exceeds it)"
+            )
         return labels
     finally:
         edges.unpersist()

@@ -67,19 +67,23 @@ def convert(
         raise ConversionSourceError(f"cannot open parquet source {input_path!r}: {e}") from e
     try:
         df = normalize_schema(clean_numeric(src))
-    except Exception as e:  # schema/cast planning failures
+    except AnalysisException as e:  # plan-time schema/cast failures only
         raise ConversionSchemaError(f"schema cannot be normalized: {e}") from e
     try:
         df.write.format(fmt).mode(mode).save(output_path)
     except Exception as e:  # pragma: no cover - hard to provoke locally
-        # JVM OOMs surface as Py4J/Spark exceptions wrapping
-        # java.lang.OutOfMemoryError, not Python MemoryError
-        if isinstance(e, MemoryError) or "OutOfMemoryError" in repr(e):
+        # cast/widening problems mostly surface lazily HERE, not at
+        # plan time; JVM OOMs arrive as Py4J errors wrapping
+        # java.lang.OutOfMemoryError, never Python MemoryError
+        r = repr(e)
+        if isinstance(e, MemoryError) or "OutOfMemoryError" in r:
             raise ConversionMemoryError(
                 "out of memory during conversion; reduce "
                 "spark.sql.files.maxPartitionBytes so row groups fit "
                 "executor memory"
             ) from e
+        if "CAST_INVALID_INPUT" in r or "CANNOT_UP_CAST" in r or "SparkArithmeticException" in r:
+            raise ConversionSchemaError(f"cast failed during conversion: {e}") from e
         raise
     return spark.read.format(fmt).load(output_path)
 
@@ -127,6 +131,7 @@ def write_hyper(df: DataFrame, hyper_path: str, batch_rows: int = 10_000) -> int
             "pip install tableauhyperapi to enable the Hyper sink"
         ) from e
 
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     type_map = {
@@ -135,9 +140,21 @@ def write_hyper(df: DataFrame, hyper_path: str, batch_rows: int = 10_000) -> int
         T.DoubleType: SqlType.double,
         T.FloatType: SqlType.double,
         T.BooleanType: SqlType.bool,
+        T.DateType: SqlType.date,
         T.TimestampType: SqlType.timestamp,
         T.TimestampNTZType: SqlType.timestamp,
     }
+    # any type without a Hyper mapping (arrays/maps/structs/binary,
+    # which normalize_schema deliberately passes through) becomes its
+    # string rendering — inserting raw Python containers into a text
+    # column would make the Inserter raise mid-stream otherwise
+    projected = [
+        F.col(f.name)
+        if type(f.dataType) in type_map or isinstance(f.dataType, T.StringType)
+        else F.col(f.name).cast("string").alias(f.name)
+        for f in df.schema.fields
+    ]
+    df = df.select(*projected)
     cols = [
         TableDefinition.Column(
             f.name, type_map.get(type(f.dataType), SqlType.text)()

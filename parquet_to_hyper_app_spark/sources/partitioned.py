@@ -29,6 +29,9 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     o_orderstatus. The cache key includes the source file's
     mtime+size so a regenerated testdata dir with the same name never
     serves a stale sink."""
+    import shutil
+    import uuid
+
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     path = os.path.join(
@@ -39,7 +42,16 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderstatus")
+        # write to a process-unique staging dir, then atomically rename
+        # into place — a naive check-then-overwrite races a concurrent
+        # process (parity + pytest in parallel) into a corrupt sink
+        staging = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        write_partitioned(load_table(spark, sf_dir, "orders"), staging, "o_orderstatus")
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # another process won the rename; use theirs
+            shutil.rmtree(staging, ignore_errors=True)
     return path
 
 

@@ -17,9 +17,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.catalog import EVENTS_TS_EXPR
 from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.streaming.source import events_file_stream
 
 
 @query("stream_foreach_batch", oracle="SELECT * FROM events")
@@ -30,32 +31,19 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact (events has no NaN/Inf/null numerics, so cleaning is
     the identity here; the cleaning semantics are oracle-checked
     separately by `clean_numeric`)."""
-    _ = load_table(spark, sf_dir, "events")
     qname = f"fb_{uuid.uuid4().hex[:8]}"
-    base = os.path.join(tempfile.gettempdir(), "p2h_spark_fb", qname)
-    src_dir, out_dir, ckpt = (
-        os.path.join(base, "src"),
-        os.path.join(base, "out"),
-        os.path.join(base, "ckpt"),
-    )
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "events.parquet"))
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    out_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_fb", qname, "out")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         clean_numeric(batch_df).write.mode("append").parquet(out_dir)
 
     q = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .writeStream.foreachBatch(write_batch)
+        raw.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     out = spark.read.parquet(out_dir)
-    return out.withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    return out.withColumn("ts", F.expr(EVENTS_TS_EXPR))

@@ -14,8 +14,6 @@ availableNow run the oracle checks).
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 from collections.abc import Iterable, Iterator
 
@@ -24,11 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.streaming.source import events_file_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen timestamp"
-STATE_SCHEMA = "n_events bigint, total_value double, last_seen timestamp"
+#: state carries integer CENTS, not float dollars — accumulating float
+#: dollars across micro-batches would reintroduce order-dependent
+#: drift and break the decimal oracle once a stream has >1 batch
+STATE_SCHEMA = "n_events bigint, cents bigint, last_seen timestamp"
 
 
 def _update_profile(
@@ -37,21 +38,23 @@ def _update_profile(
     """Fold each micro-batch's rows for this user into running state."""
     (user_id,) = key
     if state.exists:
-        n, total, last_seen = state.get
+        n, cents, last_seen = state.get
     else:
-        n, total, last_seen = 0, 0.0, None
+        n, cents, last_seen = 0, 0, None
     for pdf in pdfs:
         n += len(pdf)
-        # cents-exact accumulation: 2-decimal values scaled to int cents
-        total += int(round(pdf["value"].mul(100).sum()))/ 100.0 if len(pdf) else 0.0
+        # cents-exact accumulation: each 2-decimal value rounds to an
+        # exact integer cent count; integer sums are order-independent
+        if len(pdf):
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         batch_max = pdf["ts"].max()
         last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
-    state.update((n, total, last_seen))
+    state.update((n, cents, last_seen))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [cents / 100.0],
             "last_seen": [last_seen],
         }
     )
@@ -74,22 +77,10 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch GROUP BY — which is the oracle. Values accumulate in integer
     cents inside the state update so the result is order-independent.
     """
-    _ = load_table(spark, sf_dir, "events")  # session confs
     qname = f"state_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
-    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_profile,

@@ -19,8 +19,6 @@ store the same way.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +27,7 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.streaming.source import events_file_stream
 
 
 @query(
@@ -148,24 +147,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction rule. Windows still open at end-of-stream stay in state
     and are not emitted, exactly as they would on a live stream.
     """
-    _ = load_table(spark, sf_dir, "events")  # applies session confs
     qname = f"wm_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
-    # raw file schema: ts is int64 nanoseconds (nanosAsLong)
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
-    # the file stream source needs a *directory*; expose the single
-    # read-only parquet file through a symlink in a temp dir
-    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
+        raw
         # ns → µs truncation, then TIMESTAMP (watermarks need the
         # tz-aware type; session tz is UTC so instants == wall clock)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -201,24 +186,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the key columns are projected so the emitted set is
     deterministic regardless of which physical row arrived first.
     """
-    _ = load_table(spark, sf_dir, "events")
     qname = f"dd_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "p2h_spark_ckpt", qname)
-    src_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint,"
-        " event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    stream = raw.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")

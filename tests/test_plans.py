@@ -79,3 +79,18 @@ def test_column_pruning_reaches_scan(spark):
     specs = load_all()
     cols = read_schema_columns(specs["filter_project"].fn(spark, SF_SMOKE))
     assert set(cols) == {"l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"}
+
+
+def test_lsh_pipeline_plan_has_no_nested_loop(spark):
+    """The registry dedup queries materialize eagerly (plan truncated
+    to an RDD scan), so the plan invariant must be asserted on the
+    LAZY form of the LSH pipeline explicitly."""
+    from parquet_to_hyper_app_spark.catalog import load_table
+    from parquet_to_hyper_app_spark.operators.llm.dedup import verified_near_dup_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lazy = verified_near_dup_pairs(docs, materialize=False)
+    lazy.foreachPartition(lambda _it: None)
+    s = plan_stats(lazy)
+    assert s.nested_loop_joins == 0, s
+    assert s.shuffles <= 4, s  # signatures + band self-join + verify joins
