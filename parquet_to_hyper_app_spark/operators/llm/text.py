@@ -26,7 +26,7 @@ def tokens(text: Column) -> Column:
     SELECT doc_id, lang,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-               / len(toks) AS avg_token_len,
+               / nullif(len(toks), 0) AS avg_token_len,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM (
         SELECT doc_id, lang, text,
@@ -82,14 +82,14 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_ratio,
+               / nullif(length(text), 0) AS punct_ratio,
            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-               / length(text) AS digit_ratio,
+               / nullif(length(text), 0) AS digit_ratio,
            CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
-               / len(toks) AS stopword_ratio,
+               / nullif(len(toks), 0) AS stopword_ratio,
            length(text) BETWEEN 50 AND 100000
                AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / length(text) < 0.3 AS passes_quality
+                   / nullif(length(text), 0) < 0.3 AS passes_quality
     FROM (
         SELECT doc_id, text,
                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
