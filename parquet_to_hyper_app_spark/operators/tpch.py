@@ -89,6 +89,37 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: join + grouped sum + HAVING filter
+    on the aggregate (post-aggregation predicate — the one relational
+    construct the rest of the surface didn't yet exercise). The HAVING
+    compares exact decimals, so the cut is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(dec2("l_quantity"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(qty.cast("double").alias("total_qty"), qty.alias("__q"))
+        .filter(F.col("__q") > 150)
+        .drop("__q")
+    )
+
+
+@query(
     "tpch_q14",
     oracle="""
     SELECT CAST(sum(CASE WHEN p_type = 'PROMO'

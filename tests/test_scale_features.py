@@ -89,3 +89,13 @@ def test_error_taxonomy(spark, tmp_path):
 
     with pytest.raises(ConversionSourceError):
         convert(spark, "/nonexistent/nowhere.parquet", str(tmp_path / "out"))
+
+
+def test_convert_with_metrics(spark, tmp_path):
+    """R10 parity: df.observe counts rows during the write, no 2nd pass."""
+    from parquet_to_hyper_app_spark.sources.convert import convert_with_metrics
+
+    out, metrics = convert_with_metrics(
+        spark, f"{SF_SMOKE}/orders.parquet", str(tmp_path / "sink")
+    )
+    assert metrics["rows_processed"] == out.count() == 1500
