@@ -32,6 +32,11 @@ REQUIRED_SQL_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for the pandas-UDF surface.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 4 defaults ANSI on (x/0 and cast overflow THROW). The
+    # engine's documented semantics are permissive (reference-parity
+    # cleaning; x/0 → NULL matching the oracles' NULLIF forms) — an
+    # edge row must degrade to NULL, not fail the whole query.
+    "spark.sql.ansi.enabled": "false",
 }
 
 
