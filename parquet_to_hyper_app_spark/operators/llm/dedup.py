@@ -254,7 +254,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
            / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
     FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
+    WHERE len(a.bigrams) > 0 AND len(b.bigrams) > 0
+      AND CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
           / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.05
     """,
 )
@@ -275,6 +276,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat_ws(' ', __toks[i-1], coalesce(__toks[i], ''))))"
         ).alias("bigrams"),
     )
+    # empty/whitespace-only docs: Spark's concat_ws over a missing token
+    # yields bigrams=[''] where the oracle's NULL-dropping list_distinct
+    # yields [] — normalize to [] and exclude such docs in both engines
+    grams = grams.withColumn(
+        "bigrams", F.filter(F.col("bigrams"), lambda b: b != "")
+    ).filter(F.size("bigrams") > 0)
     a = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("bigrams").alias("bg_a")
     )

@@ -10,14 +10,12 @@ are engine-specific by nature (recall/shape pinned by unit tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.llm.similarity import _N_QUERIES, bucket_topk
 from parquet_to_hyper_app_spark.registry import query
-
-_N_QUERIES = 10
-_TOP_K = 3
 
 
 @query("text_tfidf")
@@ -78,8 +76,6 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the list. Scanned fraction ≈ 1/k; recall vs brute force is
     unit-tested. At 100 TB the centroid assignment is one broadcast-
     model map pass and lists are written bucketed by centroid_id."""
-    from parquet_to_hyper_app_spark.operators.llm.similarity import cosine
-
     emb = load_table(spark, sf_dir, "embeddings")
     _model, assigned = kmeans_index(emb)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -88,12 +84,4 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), "centroid_id"
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.join(F.broadcast(q), "centroid_id")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return bucket_topk(cand, q, "centroid_id")

@@ -94,6 +94,32 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in rng.standard_normal(dim)] for _ in range(bits)]
 
 
+def embedding_dim(emb: DataFrame) -> int:
+    """Actual embedding dimensionality (one-row lookup). Hardcoding a
+    dim that mismatches the data would NULL every hyperplane dot
+    product and silently collapse all vectors into one bucket."""
+    row = emb.select(F.size("embedding").alias("d")).first()
+    if row is None or not row["d"]:
+        raise ValueError("embeddings table is empty or has empty vectors")
+    return int(row["d"])
+
+
+def bucket_topk(cand: DataFrame, q: DataFrame, bucket_col: str, k: int = _TOP_K) -> DataFrame:
+    """Shared inverted-list search: join candidates to broadcast
+    queries on the bucket key, exact cosine, per-query top-k.
+    Used by both the LSH (similarity_ivf) and KMeans (features.py)
+    quantizers so ranking/tie-break semantics cannot diverge."""
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), bucket_col)
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id of a double-array column against fixed planes."""
     bucket = F.lit(0)
@@ -112,9 +138,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle; recall vs brute force is unit-tested ≥ 0.5 and the
     bucketing is deterministic (seeded planes)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
     bits = 4
-    planes = _hyperplanes(dim, bits=bits)
+    planes = _hyperplanes(embedding_dim(emb), bits=bits)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
@@ -131,12 +156,4 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("bucket")
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return bucket_topk(cand, q, "bucket")

@@ -36,7 +36,12 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_fb", qname, "out")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        clean_numeric(batch_df).write.mode("append").parquet(out_dir)
+        # idempotence comes from keying the write by epoch: a replayed
+        # batch OVERWRITES its own epoch directory instead of appending
+        # duplicates (plain append would double rows on retry/restart)
+        clean_numeric(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch_{epoch_id}")
+        )
 
     q = (
         raw.writeStream.foreachBatch(write_batch)
@@ -45,5 +50,5 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(out_dir)
+    out = spark.read.parquet(os.path.join(out_dir, "epoch_*"))
     return out.withColumn("ts", F.expr(EVENTS_TS_EXPR))

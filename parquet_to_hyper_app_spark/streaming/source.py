@@ -14,7 +14,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.session import ensure_session_configs
 
 #: raw file schema: ts is int64 nanoseconds (see catalog.EVENTS_TS_EXPR)
 RAW_EVENTS_SCHEMA = (
@@ -32,13 +32,31 @@ def events_file_stream(
     callers convert with catalog.EVENTS_TS_EXPR (or timestamp_micros
     for the tz-aware watermark form).
     """
-    _ = load_table(spark, sf_dir, "events")  # applies session confs
+    ensure_session_configs(spark)
     base = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
     src_dir = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        # absolutize: a relative sf_dir would make the symlink resolve
+        # against /tmp (dangling) while batch reads still worked
+        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
     return stream, ckpt
+
+
+def run_to_memory(stream: DataFrame, qname: str, ckpt: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink
+    (availableNow) and return the sink table. One definition of the
+    writeStream boilerplate for every streaming query."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(qname)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from parquet_to_hyper_app_spark.registry import query
-from parquet_to_hyper_app_spark.streaming.source import events_file_stream
+from parquet_to_hyper_app_spark.streaming.source import events_file_stream, run_to_memory
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen timestamp"
 #: state carries integer CENTS, not float dollars — accumulating float
@@ -42,11 +42,12 @@ def _update_profile(
     else:
         n, cents, last_seen = 0, 0, None
     for pdf in pdfs:
+        if not len(pdf):
+            continue  # empty chunk: ts.max() would be NaT and poison state
         n += len(pdf)
         # cents-exact accumulation: each 2-decimal value rounds to an
         # exact integer cent count; integer sums are order-independent
-        if len(pdf):
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         batch_max = pdf["ts"].max()
         last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
     state.update((n, cents, last_seen))
@@ -90,21 +91,20 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # the memory sink holds one profile row per user per batch; the
-    # final batch's rows are the complete profiles (single batch here)
-    out = spark.table(qname)
-    return out.select(
-        "user_id",
-        "n_events",
-        "total_value",
-        F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
+    out = run_to_memory(stream, qname, ckpt, "update")
+    # update mode emits one profile row per user PER BATCH; keep only
+    # each user's latest state (n_events grows monotonically) so a
+    # multi-file/multi-batch source still equals the batch GROUP BY
+    from pyspark.sql import Window as W
+
+    latest = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.col("last_seen").cast("timestamp_ntz").alias("last_seen"),
+        )
     )

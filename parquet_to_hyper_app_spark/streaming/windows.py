@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
 from parquet_to_hyper_app_spark.registry import query
-from parquet_to_hyper_app_spark.streaming.source import events_file_stream
+from parquet_to_hyper_app_spark.streaming.source import events_file_stream, run_to_memory
 
 
 @query(
@@ -163,16 +163,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(qname)
+    return run_to_memory(stream, qname, ckpt, "append")
 
 
 @query(
@@ -189,13 +180,4 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"dd_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = raw.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(qname)
+    return run_to_memory(stream, qname, ckpt, "append")
