@@ -54,11 +54,84 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round-2 check ordering. The driver verified the first 50 registry keys
+# in round 1 (CORRECTNESS_r01.json == registry order[:50]); to get every
+# key a driver-verified row across rounds, the keys with no round-1 row
+# come first, then keys whose implementation changed this round (their
+# round-1 row is stale), then headline re-checks. Keys not listed follow
+# in registry order.
+_CHECK_PRIORITY = [
+    # -- no round-1 CORRECTNESS row (registry order) --
+    "similarity_kmeans_ivf",
+    "multimodal_features",
+    "sessionize",
+    "text_stats",
+    "text_lang_dist",
+    "text_quality",
+    "text_token_bpe",
+    "text_fingerprint",
+    "text_lang_id",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_string_extra",
+    "scalar_trycast",
+    "scalar_map",
+    "scalar_json",
+    "array_ops",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_table",
+    "convert_sink",
+    "convert_sink_events",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "partitioned_sink_prune",
+    "stream_foreach_batch",
+    "stream_stateful_profile",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup",
+    # -- new this round --
+    "dedup_embedding_lsh",
+    # -- changed this round (round-1 row is stale) --
+    "agg_approx_percentile",
+    "dedup_ngram_jaccard",
+    "join_asof",
+    "text_tfidf",
+    "similarity_ivf",
+    # -- headline re-checks (fill the remaining checked slots) --
+    "parquet_scan",
+    "clean_numeric",
+    "agg_groupby",
+    "join_multiway",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q18",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+]
+
+
+def _ordered_specs():
+    specs = load_all()
+    ordered = {k: specs[k] for k in _CHECK_PRIORITY if k in specs}
+    for key, spec in specs.items():
+        if key not in ordered:
+            ordered[key] = spec
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B."""
-    return {key: spec.fn for key, spec in load_all().items()}
+    return {key: spec.fn for key, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query key."""
-    return {key: spec.oracle for key, spec in load_all().items() if spec.oracle is not None}
+    return {key: spec.oracle for key, spec in _ordered_specs().items() if spec.oracle is not None}

@@ -231,7 +231,9 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS n_dims,
            CAST(embedding[1] AS DOUBLE) AS first_dim,
-           list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+           array_to_string(list_transform(embedding[1:4],
+               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',')
+               AS head4_csv,
            round(sqrt(list_sum(list_transform(
                embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
@@ -244,14 +246,21 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     size/element_at/slice/transform/aggregate, all JVM-side (no UDF).
     Elements cast float→double before arithmetic so both engines
     accumulate in double; aggregate() is an ordered left fold matching
-    DuckDB's list_sum order."""
+    DuckDB's list_sum order. The slice is serialized to a CSV string
+    (`head4_csv`) because the driver's canonicalizer needs scalar cells."""
     e = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: x.cast("double").cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("head4_csv"),
         F.round(
             F.sqrt(
                 F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)

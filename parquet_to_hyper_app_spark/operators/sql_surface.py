@@ -146,13 +146,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17b (rows-only): approximate percentiles via the KLL/GK-style
     sketch (`percentile_approx`). Sketch outputs are engine-specific so
     no oracle; accuracy vs the exact interpolated percentile is
-    unit-tested (tests/test_relational.py)."""
+    unit-tested (tests/test_relational.py).
+
+    One scalar column per quantile (not an array column): the sketch is
+    computed once per group and `element_at` splits it — and the
+    driver's canonicalizer requires hashable (scalar) cells.
+    """
     v = _view(spark, sf_dir, "lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag,
-               percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS approx_p50_p90
-        FROM {v} GROUP BY l_returnflag
+               element_at(sketch, 1) AS approx_p50,
+               element_at(sketch, 2) AS approx_p90
+        FROM (
+            SELECT l_returnflag,
+                   percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS sketch
+            FROM {v} GROUP BY l_returnflag
+        )
         """
     )
 

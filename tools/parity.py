@@ -55,6 +55,25 @@ def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return rows
 
 
+def nonscalar_cells(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells the driver's canonicalizer cannot hash/sort.
+
+    The driver does a plain pandas sort over every output column; a
+    list/ndarray/dict cell raises `TypeError: unhashable type` there
+    (seen in CORRECTNESS_r01 for agg_approx_percentile). Flag them
+    locally so they never reach the driver.
+    """
+    bad = []
+    head = pdf.head(50)
+    for col in pdf.columns:
+        if any(
+            isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray"
+            for v in head[col]
+        ):
+            bad.append(col)
+    return bad
+
+
 def compare(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -102,6 +121,11 @@ def main() -> int:
             spark_pdf = spec.fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {key}: spark error: {type(e).__name__}: {str(e)[:400]}")
+            failures += 1
+            continue
+        bad_cols = nonscalar_cells(spark_pdf)
+        if bad_cols:
+            print(f"FAIL {key}: non-scalar output columns {bad_cols} would crash the driver")
             failures += 1
             continue
         if spec.oracle is None:
