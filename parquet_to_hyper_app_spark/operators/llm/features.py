@@ -33,26 +33,24 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
 
-    @F.udf("struct<bucket: int, weight: double>")
-    def top_bucket(v):
-        if v is None or v.numNonzeros() == 0:
-            return (-1, 0.0)
-        # SparseVector: argmax over stored values, ties -> lowest index
-        best_i, best_w = -1, float("-inf")
-        for i, w in zip(v.indices, v.values):
-            if w > best_w or (w == best_w and i < best_i):
-                best_i, best_w = int(i), float(w)
-        return (best_i, best_w)
+    # Argmax stays JVM-side: vector_to_array + array_max/array_position
+    # (first match = lowest index on ties). An all-zero vector (empty
+    # doc, or every term in every doc) maps to bucket -1 / weight 0.0.
+    from pyspark.ml.functions import vector_to_array
 
-    return out.select(
+    arr = out.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),
-        top_bucket("tfidf").alias("top"),
-    ).select(
+        vector_to_array("tfidf").alias("w"),
+    ).select("doc_id", "n_tokens", "w", F.array_max("w").alias("mx"))
+    return arr.select(
         "doc_id",
         "n_tokens",
-        F.col("top.bucket").alias("top_bucket"),
-        F.round(F.col("top.weight"), 6).alias("top_weight"),
+        F.when(F.col("mx") > 0.0, F.array_position("w", F.col("mx")) - 1)
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("top_bucket"),
+        F.round(F.when(F.col("mx") > 0.0, F.col("mx")).otherwise(0.0), 6).alias("top_weight"),
     )
 
 

@@ -146,3 +146,26 @@ def test_tfidf_shapes(spark):
     assert len(out) == load_table(spark, SF_SMOKE, "documents").count()
     assert all(r.top_bucket >= 0 and r.top_weight >= 0 for r in out)
     assert all(r.n_tokens > 0 for r in out)
+
+
+def test_embedding_lsh_recall_and_plan(spark):
+    from parquet_to_hyper_app_spark.operators.llm.dedup import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF_SMOKE).collect()}
+    lsh_df = dedup_embedding_lsh(spark, SF_SMOKE)
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_df.collect()}
+    # no false positives: every emitted pair is exact-verified inside
+    # its bucket, so lsh ⊆ exact
+    assert lsh <= exact
+    # recall on near-random vectors at the worst-case threshold; real
+    # near-dup embeddings (cos >= 0.9) collide with prob ~0.97/table
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, recall
+    # the whole point: candidate generation is an equi-join, never a
+    # cartesian/broadcast-nested-loop product
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
