@@ -38,6 +38,7 @@ HEADLINE = [
     "sort_limit",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "similarity_topk",
     "sessionize",
     "text_stats",
@@ -69,7 +70,7 @@ def main() -> int:
     for key in HEADLINE:
         fn = specs[key].fn
         best = float("inf")
-        for _rep in range(2):  # best-of-2: mask GC/JIT-deopt spikes
+        for _rep in range(3):  # best-of-3: mask GC/JIT-deopt spikes
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -489,12 +489,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_to_hyper_app_spark.operators.llm.similarity import (
         _hyperplanes,
         cosine,
-        embedding_dim,
+        embedding_dim_for,
         lsh_bucket,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = embedding_dim(emb)
+    dim = embedding_dim_for(spark, sf_dir)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

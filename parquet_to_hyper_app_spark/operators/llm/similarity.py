@@ -104,6 +104,18 @@ def embedding_dim(emb: DataFrame) -> int:
     return int(row["d"])
 
 
+#: sf_dir → dim; the lookup is one tiny job but every LSH/IVF query
+#: would otherwise re-run it per invocation
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim_for(spark: SparkSession, sf_dir: str) -> int:
+    """Cached embedding dimensionality of a testdata directory."""
+    if sf_dir not in _DIM_CACHE:
+        _DIM_CACHE[sf_dir] = embedding_dim(load_table(spark, sf_dir, "embeddings"))
+    return _DIM_CACHE[sf_dir]
+
+
 def bucket_topk(cand: DataFrame, q: DataFrame, bucket_col: str, k: int = _TOP_K) -> DataFrame:
     """Shared inverted-list search: join candidates to broadcast
     queries on the bucket key, exact cosine, per-query top-k.
@@ -139,7 +151,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is deterministic (seeded planes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bits = 4
-    planes = _hyperplanes(embedding_dim(emb), bits=bits)
+    planes = _hyperplanes(embedding_dim_for(spark, sf_dir), bits=bits)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))

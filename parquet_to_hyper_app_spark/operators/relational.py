@@ -237,28 +237,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first formulation: equi-join on the entity key (shuffle
     co-partitions both sides on user), keep the inequality as a join
-    residual, then per-event row_number()=1 picks the as-of match.
-    Deterministic tie-break (o_orderdate, o_orderkey). At scale this is
-    one shuffle + one window over already-partitioned data; the
-    per-group `merge_asof` Pandas-UDF variant is only worth it when one
-    side is sorted and huge-per-key.
+    residual, then pick the as-of match with max(struct(o_orderdate,
+    o_orderkey)) per event — an *aggregation*, not a row_number window,
+    so Catalyst plans a map-side partial HashAggregate in the join's
+    own stage: the event × prior-orders fanout collapses to one row
+    per event before anything shuffles. On a skewed power-user at
+    100×, the window variant would shuffle the full fanout; this plan
+    shuffles |events| rows regardless of skew. Struct comparison is
+    lexicographic on (o_orderdate, o_orderkey) — the same
+    deterministic tie-break the oracle's ranked CTE uses.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    from pyspark.sql import Window as W
 
     joined = ev.join(
         orders,
         (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
         "left",
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

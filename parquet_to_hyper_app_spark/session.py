@@ -17,6 +17,9 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: confs already warned about (warn once per process, not per query)
+_WARNED_CONFS: set[str] = set()
+
 #: SQL confs the engine requires; all runtime-settable.
 REQUIRED_SQL_CONFS: dict[str, str] = {
     # Oracle comparability: DuckDB timestamps are UTC-naive. Spark must
@@ -43,15 +46,27 @@ REQUIRED_SQL_CONFS: dict[str, str] = {
 def ensure_session_configs(spark: SparkSession) -> SparkSession:
     """Apply required runtime SQL confs to an externally-built session.
 
-    Safe to call repeatedly; ignores confs the session refuses (e.g. a
-    future Spark making one static) rather than failing the query.
+    Safe to call repeatedly; a conf the session refuses (e.g. a future
+    Spark making one static) is warned about ONCE rather than failing
+    the query — silent divergence from the oracles would be much harder
+    to diagnose than a visible warning.
     """
     for key, value in REQUIRED_SQL_CONFS.items():
         try:
             if spark.conf.get(key, None) != value:
                 spark.conf.set(key, value)
-        except Exception:  # pragma: no cover - defensive
-            pass
+        except Exception as e:  # pragma: no cover - defensive
+            if key not in _WARNED_CONFS:
+                _WARNED_CONFS.add(key)
+                import warnings
+
+                warnings.warn(
+                    f"required Spark conf {key}={value!r} could not be "
+                    f"applied ({type(e).__name__}: {e}); query semantics "
+                    "may diverge from the documented/oracle behavior",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

@@ -24,3 +24,9 @@ class ConversionSchemaError(EngineError):
 class ConversionMemoryError(EngineError):
     """Executor/driver memory exhausted mid-conversion
     (reference: MemoryError → row-group advice, app.py:163-165)."""
+
+
+class ConversionTimeoutError(EngineError):
+    """Conversion exceeded its wall-clock budget and was cancelled
+    (reference: TimeoutError → 'conversion timed out', app.py:111-112,
+    166-168). Raised by sources.watchdog.job_timeout."""

@@ -50,5 +50,13 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # an empty/missing source produces zero epochs — no epoch_* dirs —
+    # and the glob read would raise an unrelated PATH_NOT_FOUND; return
+    # an empty frame with the sink schema instead
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(out_dir, "epoch_*")):
+        empty = clean_numeric(spark.createDataFrame([], raw.schema))
+        return empty.withColumn("ts", F.expr(EVENTS_TS_EXPR))
     out = spark.read.parquet(os.path.join(out_dir, "epoch_*"))
     return out.withColumn("ts", F.expr(EVENTS_TS_EXPR))

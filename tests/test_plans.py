@@ -94,3 +94,13 @@ def test_lsh_pipeline_plan_has_no_nested_loop(spark):
     s = plan_stats(lazy)
     assert s.nested_loop_joins == 0, s
     assert s.shuffles <= 4, s  # signatures + band self-join + verify joins
+
+
+def test_asof_join_preaggregates_before_shuffle(spark):
+    """join_asof must collapse the event x prior-orders fanout with a
+    map-side partial aggregate (skew posture), not push the full fanout
+    through a shuffle into a window."""
+    df = load_all()["join_asof"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan

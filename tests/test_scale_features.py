@@ -67,7 +67,7 @@ def test_approx_percentile_close_to_exact(spark):
 
     specs = load_all()
     approx = {
-        r.l_returnflag: r.approx_p50_p90
+        r.l_returnflag: (r.approx_p50, r.approx_p90)
         for r in specs["agg_approx_percentile"].fn(spark, SF_SMOKE).collect()
     }
     exact = {
