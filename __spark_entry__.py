@@ -97,6 +97,9 @@ _CHECK_PRIORITY = [
     "stream_dedup",
     # -- new this round --
     "dedup_embedding_lsh",
+    "source_merge_schema",
+    "sink_compacted",
+    "sink_range_clustered",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

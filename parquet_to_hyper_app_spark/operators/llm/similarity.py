@@ -104,9 +104,10 @@ def embedding_dim(emb: DataFrame) -> int:
     return int(row["d"])
 
 
-#: sf_dir → dim; the lookup is one tiny job but every LSH/IVF query
-#: would otherwise re-run it per invocation
+#: sf_dir → dim / row count; the lookups are one tiny job each but
+#: every LSH/IVF query would otherwise re-run them per invocation
 _DIM_CACHE: dict[str, int] = {}
+_COUNT_CACHE: dict[str, int] = {}
 
 
 def embedding_dim_for(spark: SparkSession, sf_dir: str) -> int:
@@ -114,6 +115,13 @@ def embedding_dim_for(spark: SparkSession, sf_dir: str) -> int:
     if sf_dir not in _DIM_CACHE:
         _DIM_CACHE[sf_dir] = embedding_dim(load_table(spark, sf_dir, "embeddings"))
     return _DIM_CACHE[sf_dir]
+
+
+def embedding_count_for(spark: SparkSession, sf_dir: str) -> int:
+    """Cached row count of the embeddings table (sizes LSH tables)."""
+    if sf_dir not in _COUNT_CACHE:
+        _COUNT_CACHE[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
+    return _COUNT_CACHE[sf_dir]
 
 
 def bucket_topk(cand: DataFrame, q: DataFrame, bucket_col: str, k: int = _TOP_K) -> DataFrame:

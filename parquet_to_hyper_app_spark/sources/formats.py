@@ -70,3 +70,41 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             "install the delta-spark package + jars to enable"
         ) from e
     return spark.read.format("delta").load(path)  # pragma: no cover
+
+
+@query(
+    "source_merge_schema",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS VARCHAR) AS batch_tag
+    FROM nation WHERE n_regionkey < 2
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'v2' AS batch_tag
+    FROM nation WHERE n_regionkey >= 2
+    """,
+)
+def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: a later batch adds a
+    column (`batch_tag`); `mergeSchema=true` unions the file schemas so
+    old files surface NULL for the new column. This is the standard
+    append-only training-data layout where extraction versions add
+    metadata columns over time. The merged read stays one distributed
+    scan — schema reconciliation happens at planning, per file footer,
+    not by rewriting old batches.
+    """
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = os.path.join(tempfile.gettempdir(), "p2h_spark_fmt", "merge_schema")
+    v1 = nation.filter(F.col("n_regionkey") < 2)
+    v2 = nation.filter(F.col("n_regionkey") >= 2).withColumn("batch_tag", F.lit("v2"))
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+        .select("n_nationkey", "n_name", "n_regionkey", "batch_tag")
+    )

@@ -79,3 +79,66 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
     )
+
+
+def compact_files(
+    df: DataFrame, path: str, target_file_bytes: int = 128 << 20, approx_row_bytes: int | None = None
+) -> None:
+    """Small-file compaction: rewrite a fragmented dataset into files of
+    ~target_file_bytes. File count = ceil(estimated_bytes / target);
+    estimation uses the Catalyst plan's sizeInBytes unless the caller
+    supplies a measured per-row byte width. One round-robin repartition
+    (a single shuffle) spreads rows evenly across the writers — the
+    standard nightly maintenance pass that keeps a 100 TB table's file
+    census near the 128 MB–1 GB sweet spot instead of millions of
+    KB-scale appends drowning the scheduler in splits.
+    """
+    import math
+
+    if approx_row_bytes is not None:
+        n_rows = df.count()
+        est_bytes = n_rows * approx_row_bytes
+    else:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(est_bytes / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+@query("sink_compacted", oracle="SELECT * FROM lineitem")
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip: fragment `lineitem` into many small files
+    (64 KB target — deliberately pathological), then compact back to
+    128 MB targets and read the result. The oracle is the source table:
+    compaction must be value-neutral. tests/test_scale_features.py
+    asserts the file-count arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = os.path.join(tempfile.gettempdir(), "p2h_spark_part", "compact")
+    frag = os.path.join(base, "fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = os.path.join(base, "compacted")
+    compact_files(spark.read.parquet(frag), compacted)
+    return spark.read.parquet(compacted)
+
+
+@query("sink_range_clustered", oracle="SELECT * FROM lineitem")
+def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered sink: repartitionByRange(l_shipdate) +
+    sortWithinPartitions — the standard time-series training-data
+    layout. Each output file owns a contiguous shipdate range and is
+    internally sorted, so parquet row-group min/max statistics prune
+    time-window scans file-by-file (the unpartitioned cousin of hive
+    partition pruning, without the directory explosion of one
+    partition per day). Range boundaries come from Spark's reservoir
+    sample of the key distribution, so skewed dates still yield
+    balanced files. Value-neutral: oracle is the source table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(tempfile.gettempdir(), "p2h_spark_part", "range_clustered")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -99,3 +99,21 @@ def test_convert_with_metrics(spark, tmp_path):
         spark, f"{SF_SMOKE}/orders.parquet", str(tmp_path / "sink")
     )
     assert metrics["rows_processed"] == out.count() == 1500
+
+
+def test_compact_files_count(spark, tmp_path):
+    """compact_files must hit ceil(bytes/target) files, not 1, not 64."""
+    import glob
+
+    from parquet_to_hyper_app_spark.sources.partitioned import compact_files
+
+    df = spark.range(100_000).selectExpr("id", "id * 2 AS v")
+    frag = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(frag)
+    out = str(tmp_path / "compact")
+    # 16 bytes/row measured width -> 1.6 MB -> 4 files at 400 KB target
+    compact_files(spark.read.parquet(frag), out, target_file_bytes=400_000,
+                  approx_row_bytes=16)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 4, files
+    assert spark.read.parquet(out).count() == 100_000
