@@ -485,8 +485,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of `dedup_embedding`'s exhaustive crossJoin baseline.
 
     Shape (mirrors the MinHash-LSH pipeline above): every vector hashes
-    into one bucket per table (seeded hyperplane signs, shared
-    quantizer with similarity_ivf); each (table, bucket) group is then
+    into one bucket per table (seeded hyperplane signs, same plane
+    generator as similarity_ivf); each (table, bucket) group is then
     verified *in place* by an `applyInPandas` BLAS pass — normalized
     G @ G.T over the bucket's ≤~2·target rows — emitting only the pairs
     that clear the threshold. Per-pair join/shuffle never happens: the
@@ -495,16 +495,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup across tables (a pair that collides in several tables is
     emitted by each). Never a crossJoin. Approximate by construction ⇒
     no SQL oracle; recall vs `dedup_embedding` is pinned by a unit
-    test. This is the deliberate Pandas-UDF exception: a dense
-    within-bucket similarity matrix is exactly what interpreted
-    higher-order array folds cannot express efficiently (measured 5×
-    on the verify stage), and the batch shape (one bounded bucket per
-    call) is Arrow-friendly.
+    test. This is the deliberate Pandas-UDF exception — twice over:
+    (a) normalize + all L·bits hyperplane signs are ONE numpy matrix
+    multiply per Arrow batch (the interpreted-fold formulation of the
+    same thing was the slowest query in the whole bench: Catalyst's
+    CollapseProject inlines the normalization fold into every plane
+    fold, so the JVM evaluates L·bits·dim² interpreted lambda steps
+    per row), and (b) a dense within-bucket similarity matrix is
+    exactly what per-pair array folds cannot express efficiently. Both
+    batch shapes (columnar Arrow batch; one bounded bucket per call)
+    are BLAS-friendly.
 
-    At 100 TB: bucket computation is one narrow pass with broadcast
-    planes; bits grow with n so bucket population stays near
-    _EMB_LSH_BUCKET_ROWS and the per-group matrix stays ~64×dim
-    doubles; the groupBy state is one bucket at a time per task.
+    At 100 TB: bucket computation is one narrow mapInPandas pass with
+    the (tiny) plane matrix serialized into the closure; bits grow
+    with n so bucket population stays near _EMB_LSH_BUCKET_ROWS and
+    the per-group matrix stays ~64×dim doubles; the groupBy state is
+    one bucket at a time per task.
     """
     import numpy as np
     import pandas as pd
@@ -513,27 +519,40 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hyperplanes,
         embedding_count_for,
         embedding_dim_for,
-        lsh_bucket,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim_for(spark, sf_dir)
     bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
-    # pre-normalize once per vector; buckets are sign-of-dot so the
-    # normalization does not change bucket assignment
-    raw = F.transform("embedding", lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-    v = emb.select("vec_id", F.transform(raw, lambda x: x / norm).alias("e"))
-    tables = [
-        F.struct(
-            F.lit(t).alias("t"),
-            lsh_bucket(F.col("e"), _hyperplanes(dim, bits, seed=42 + t)).alias("h"),
-        )
-        for t in range(_EMB_LSH_TABLES)
-    ]
-    bucketed = v.select(
-        "vec_id", "e", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "e", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
+    # (L·bits) × dim plane matrix, one block of `bits` rows per table;
+    # same seeded generator as the JVM-side quantizer
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, bits, seed=42 + t)) for t in range(_EMB_LSH_TABLES)]
+    )
+    pows = (1 << np.arange(bits)).astype("int64")
+
+    def normalize_and_bucket(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # sign bits for all tables at once: n × (L·bits) dots
+            signs = (mat @ planes.T) > 0
+            hs = signs.reshape(len(mat), _EMB_LSH_TABLES, bits) @ pows
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _EMB_LSH_TABLES),
+                    "e": list(np.repeat(mat, _EMB_LSH_TABLES, axis=0)),
+                    "t": np.tile(np.arange(_EMB_LSH_TABLES), len(mat)),
+                    "h": hs.reshape(-1),
+                }
+            )
+            yield out
+
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        normalize_and_bucket, "vec_id long, e array<double>, t int, h long"
+    )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
