@@ -100,6 +100,10 @@ _CHECK_PRIORITY = [
     "source_merge_schema",
     "sink_compacted",
     "sink_range_clustered",
+    "join_bucketed",
+    "agg_salted_skew",
+    "pipeline_training_corpus",
+    "pipeline_training_corpus_full",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

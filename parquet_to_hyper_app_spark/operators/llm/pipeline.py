@@ -1,0 +1,102 @@
+"""End-to-end training-corpus preparation — the composed pipeline a
+user of this engine actually runs nightly, built entirely from the
+operators this package already ships:
+
+    quality gate → exact dedup → (near-dedup) → tokenize/count
+
+Two registered variants:
+
+- ``pipeline_training_corpus``: the deterministic spine (quality gate,
+  exact dedup, BPE-ish token counts). Fully SQL-expressible ⇒ exact
+  value-hash oracle.
+- ``pipeline_training_corpus_full``: the same spine plus MinHash-LSH
+  near-dedup between dedup and tokenize. Seeded-xxhash64 LSH is not
+  SQL-expressible ⇒ rows-only check; every stage is individually
+  verified by its own query key (text_quality, dedup_exact,
+  dedup_minhash_lsh, text_token_bpe).
+
+Scale shape: the quality gate is a narrow projection fused into the
+scan; exact dedup is one shuffle on sha256(text) (uniform, skew-free);
+near-dedup adds the banded-LSH candidate join (bounded buckets, never
+all-pairs); tokenize is again narrow. Filters run BEFORE both dedups,
+so the expensive shuffles see only surviving rows — at 100 TB the
+quality gate typically drops 30–60% of raw crawl before the first
+shuffle moves a byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.llm.dedup import (
+    dedup_exact_df,
+    verified_near_dup_pairs,
+)
+from parquet_to_hyper_app_spark.registry import query
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """The text_quality boolean gate as a filter: length band 50..100k
+    chars and digit ratio < 0.3 (cheap heuristics before any shuffle)."""
+    n_chars = F.length("text")
+    digit_ratio = (
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / n_chars
+    )
+    return docs.filter(n_chars.between(50, 100000) & (digit_ratio < 0.3))
+
+
+def tokenized(docs: DataFrame) -> DataFrame:
+    """Per-doc BPE-ish token and char counts (text_token_bpe's regex)."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle=r"""
+    SELECT doc_id, lang, source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (
+        SELECT doc_id, lang, source, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+        WHERE length(text) BETWEEN 50 AND 100000
+          AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+              / length(text) < 0.3
+    ) WHERE rn = 1
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-corpus spine: quality gate → exact dedup
+    (survivor = min doc_id per identical text) → token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_exact_df(quality_gate(docs)).drop("content_hash")
+    return tokenized(survivors)
+
+
+@query("pipeline_training_corpus_full")
+def pipeline_training_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (rows-only): the deterministic spine plus
+    MinHash-LSH near-dedup (Jaccard ≥ 0.5 on word 3-gram shingles,
+    survivor = smaller doc_id) between exact dedup and tokenize."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_exact_df(quality_gate(docs)).drop("content_hash")
+    near_dups = (
+        verified_near_dup_pairs(survivors)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return tokenized(survivors.join(near_dups, "doc_id", "left_anti"))

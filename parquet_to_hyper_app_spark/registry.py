@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (each registers its queries)."""
     # Imports are inside the function so `import registry` stays cheap
     # and circular imports (modules import `query` from here) resolve.
+    from parquet_to_hyper_app_spark.operators import bucketed  # noqa: F401
     from parquet_to_hyper_app_spark.operators import cleaning  # noqa: F401
     from parquet_to_hyper_app_spark.operators import relational  # noqa: F401
     from parquet_to_hyper_app_spark.operators import sql_surface  # noqa: F401
@@ -62,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
     from parquet_to_hyper_app_spark.operators.llm import dedup  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import features  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import multimodal  # noqa: F401
+    from parquet_to_hyper_app_spark.operators.llm import pipeline  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import sessionize  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import similarity  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import text  # noqa: F401

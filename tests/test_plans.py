@@ -104,3 +104,24 @@ def test_asof_join_preaggregates_before_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """join_bucketed must read both pre-bucketed sides aligned: a
+    sort-merge join with ZERO shuffle Exchange on either side. This is
+    the whole point of paying the bucketed write once."""
+    df = load_all()["join_bucketed"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.sortmerge_joins == 1, s
+    assert s.shuffles == 0, s
+
+
+def test_salted_agg_is_two_phase(spark):
+    """agg_salted_skew must shuffle twice — once on (key, salt), once
+    on key — never once on the raw 3-value key."""
+    df = load_all()["agg_salted_skew"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.shuffles == 2, s
+    assert s.nested_loop_joins == 0, s
