@@ -104,6 +104,9 @@ _CHECK_PRIORITY = [
     "agg_salted_skew",
     "pipeline_training_corpus",
     "pipeline_training_corpus_full",
+    "sample_stratified",
+    "text_vocab_topk",
+    "text_length_quartiles",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

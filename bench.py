@@ -36,6 +36,9 @@ HEADLINE = [
     "agg_distinct",
     "window_moving_agg",
     "sort_limit",
+    "join_bucketed",
+    "agg_salted_skew",
+    "pipeline_training_corpus",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",

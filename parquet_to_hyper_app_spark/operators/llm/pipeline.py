@@ -87,6 +87,39 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenized(survivors)
 
 
+#: per-language keep-rate (percent): downsample the dominant language,
+#: keep the long tail — the standard corpus-rebalancing mixture step
+_STRATA_PCT = {"en": 25, "de": 75, "es": 75, "fr": 75, "zh": 75}
+_STRATA_DEFAULT_PCT = 75
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id % 1000003) * 2654435761) % 100 <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PCT.items())}
+          ELSE {_STRATA_DEFAULT_PCT} END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language keep rates via
+    the same multiplicative-hash scheme as sample_hash (reduce mod a
+    prime BEFORE multiplying so the product never overflows int64).
+    Unlike `sampleBy`, the decision is a pure function of (doc_id,
+    lang): reproducible across engines, runs, and partitionings, so the
+    sampled corpus is auditable. Narrow (filter fused into the scan) —
+    zero shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_STRATA_DEFAULT_PCT)
+    for lang, pct in _STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
 @query("pipeline_training_corpus_full")
 def pipeline_training_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline (rows-only): the deterministic spine plus

@@ -200,3 +200,71 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best < 0.01, F.lit("und")).otherwise(pred)
     out = docs.select("doc_id", "lang", pred.alias("predicted_lang"), F.round(best, 6).alias("score"))
     return out
+
+
+_VOCAB_TOP_K = 20
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, n_occurrences, rank FROM (
+        SELECT token, n_occurrences,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                    AS BIGINT) AS rank
+        FROM (
+            SELECT token, count(*) AS n_occurrences FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS token
+                FROM documents
+            ) GROUP BY token
+        )
+    ) WHERE rank <= {_VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33g: corpus vocabulary heavy hitters — top-20 tokens by
+    occurrence count, deterministic tie-break on the token itself.
+
+    Scale shape: explode is narrow; the count is a partial+final hash
+    aggregate whose output is the (bounded) vocabulary, so the global
+    top-k window sorts vocabulary rows, not corpus rows. For web-scale
+    vocabularies, swap the final window for the same per-partition
+    top-k + merge this engine uses in similarity search.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.orderBy(F.col("n_occurrences").desc(), "token")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _VOCAB_TOP_K)
+    )
+
+
+@query(
+    "text_length_quartiles",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                AS BIGINT) AS quartile
+    FROM documents
+    """,
+)
+def text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33h: per-language document-length quartile assignment (ntile) —
+    the binning step behind curriculum schedules and length-balanced
+    batch mixing. Partitioned by lang so the sort parallelizes across
+    languages; deterministic tie-break on doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", "n_chars", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
