@@ -107,6 +107,8 @@ _CHECK_PRIORITY = [
     "sample_stratified",
     "text_vocab_topk",
     "text_length_quartiles",
+    "agg_string_agg",
+    "window_distribution",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

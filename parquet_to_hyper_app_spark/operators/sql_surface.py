@@ -210,3 +210,29 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with deterministic order: distinct
+    (status, priority) pairs, then the priorities per status joined
+    sorted. collect_list is order-nondeterministic in a distributed
+    engine, so the sort happens AFTER collection (array_sort) — the
+    only way to make string aggregation reproducible without a global
+    sort. Group state is bounded by the distinct-value count, not the
+    row count, because the duplicate elimination runs first."""
+    v = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               array_join(array_sort(collect_list(o_orderpriority)), ',') AS priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM {v})
+        GROUP BY o_orderstatus
+    """)

@@ -116,3 +116,29 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18b: distribution functions — percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows ≤ current / n) per customer ordered by spend. Both
+    are integer-ratio doubles computed by the same IEEE division in
+    both engines, so no rounding is needed. One shuffle, shared by both
+    functions (same window spec)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
