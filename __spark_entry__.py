@@ -109,6 +109,8 @@ _CHECK_PRIORITY = [
     "text_length_quartiles",
     "agg_string_agg",
     "window_distribution",
+    "profile_columns",
+    "source_csv_permissive",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

@@ -123,3 +123,57 @@ def normalize_schema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clean_numeric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: the reference's clean_data (NaN/±Inf/null→0) on `lineitem`."""
     return clean_numeric(load_table(spark, sf_dir, "lineitem"))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}) AS min_value,
+               max({c}) AS max_value
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null count, exact distinct count, and
+    min/max for every numeric measure — the pre-ingest audit every
+    pipeline runs before trusting a new batch.
+
+    One distributed pass: a single aggregation computes all columns'
+    stats (the multiple COUNT(DISTINCT)s plan as one Expand — rows ×
+    n_cols — with partial aggregation, NOT one scan per column like
+    the oracle's UNION ALL), then the single result row explodes into
+    long format driver-side-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (n - F.count(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

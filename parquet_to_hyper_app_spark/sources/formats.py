@@ -108,3 +108,56 @@ def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .select("n_nationkey", "n_name", "n_regionkey", "batch_tag")
     )
+
+
+#: deterministic malformed-CSV fixture: 4 parseable rows, 2 corrupt
+#: (non-numeric id; too few columns). PERMISSIVE mode must surface
+#: the good rows typed and the bad rows captured, never throw.
+_CORRUPT_CSV = """\
+1,3.5,alpha
+2,not_a_number,beta
+3,7.25,gamma
+oops,1.0
+4,,delta
+5,9.0,epsilon
+"""
+
+
+@query(
+    "source_csv_permissive",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 3.5, 'alpha', FALSE),
+        (2, CAST(NULL AS DOUBLE), 'beta', TRUE),
+        (3, 7.25, 'gamma', FALSE),
+        (CAST(NULL AS INT), 1.0, CAST(NULL AS VARCHAR), TRUE),
+        (4, CAST(NULL AS DOUBLE), 'delta', FALSE),
+        (5, 9.0, 'epsilon', FALSE)
+    ) AS t(id, val, name, is_corrupt)
+    """,
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness (reference parity R14: the reference's
+    whole error taxonomy exists because user files are dirty): CSV read
+    in PERMISSIVE mode with a corrupt-record column. Parseable rows
+    come out typed; rows that fail the schema (bad numeric, wrong
+    arity) keep whatever fields DID parse, null the rest, and set
+    is_corrupt=TRUE — the job never throws, and the corrupt subset is
+    queryable for quarantine (the raw line is in the capture column,
+    dropped here for the cross-engine check).
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.gettempdir(), "p2h_spark_fmt", "corrupt.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(_CORRUPT_CSV)
+    df = (
+        spark.read.schema("id int, val double, name string, __raw string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__raw")
+        .csv(path)
+    )
+    return df.select(
+        "id", "val", "name", F.col("__raw").isNotNull().alias("is_corrupt")
+    )
