@@ -111,6 +111,7 @@ _CHECK_PRIORITY = [
     "window_distribution",
     "profile_columns",
     "source_csv_permissive",
+    "stream_static_join",
     # -- changed this round (round-1 row is stale) --
     "agg_approx_percentile",
     "dedup_ngram_jaccard",

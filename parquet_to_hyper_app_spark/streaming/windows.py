@@ -181,3 +181,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = raw.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_memory(stream, qname, ckpt, "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.event_type,
+           CAST(CAST(e.value AS DECIMAL(12,2)) * CAST(c.c_acctbal AS DECIMAL(12,2))
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38b: stream-static enrichment join — the standard streaming
+    pattern of decorating an event stream with a slowly-changing
+    dimension. The static side is a plain batch DataFrame joined into
+    every micro-batch (Spark re-plans it per batch, so dim updates
+    between batches are picked up); no watermark is needed because a
+    stream-static inner join is stateless — each event matches against
+    the current dim snapshot and is emitted immediately. Append mode +
+    availableNow makes the result batch-equivalent, so the oracle is
+    the plain SQL join. At scale the dim side broadcasts below the
+    threshold exactly as in batch.
+    """
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    stream = (
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .join(cust, raw.user_id == cust.c_custkey)
+        .select(
+            "event_id",
+            "user_id",
+            "c_name",
+            "event_type",
+            (dec2("value") * dec2("c_acctbal")).cast("double").alias("weighted_value"),
+        )
+    )
+    return run_to_memory(stream, qname, ckpt, "append")
