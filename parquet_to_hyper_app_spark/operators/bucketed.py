@@ -64,10 +64,16 @@ def bucketed_table(spark: SparkSession, sf_dir: str, source: str, key: str) -> D
     regenerated testdata dir never serves a stale bucketed copy; an
     existing catalog entry for the same state is reused as-is.
     """
-    src = os.path.join(sf_dir, f"{source}.parquet")
+    import hashlib
+
+    src = os.path.abspath(os.path.join(sf_dir, f"{source}.parquet"))
     st = os.stat(src)
+    # key = full path + ns-precision mtime + size: distinct dirs with
+    # equal basenames, or an in-place rewrite within the same clock
+    # second, must never alias to the same catalog table
+    state = f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
     tag = re.sub(r"[^0-9a-zA-Z_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    table = f"p2h_bkt_{source}_{tag}_{int(st.st_mtime)}_{st.st_size}"
+    table = f"p2h_bkt_{source}_{tag}_{hashlib.sha256(state).hexdigest()[:16]}"
     if not spark.catalog.tableExists(table):
         path = os.path.join(tempfile.gettempdir(), "p2h_spark_bkt", table)
         write_bucketed(load_table(spark, sf_dir, source), table, path, key)

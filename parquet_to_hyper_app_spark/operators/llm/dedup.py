@@ -266,22 +266,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang
      AND ((b.bucket = a.bucket AND a.doc_id < b.doc_id) OR b.bucket = a.bucket + 1)
     WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
-          / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.05
+          / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31c: exact word-bigram Jaccard inside a composite blocking key
-    (lang × log2-size-bucket). The size bucket is floor(log2(n_bigrams))
-    computed exactly as `length(bin(n)) - 1` in both engines; each doc
-    probes its own and the next-higher bucket, so every pair with size
-    ratio ≤ 2 is compared and per-block pair counts stay bounded — no
-    unbounded all-pairs-within-a-language blowup (pairs with larger
-    size skew are the MinHash-LSH path's job; a high-Jaccard pair with
-    a >2× size gap is impossible anyway: J ≤ |A|/|B| < 0.5).
-    Blocking is still a pure equi-join (lang, probe=bucket) — the probe
-    side explodes into two bucket keys rather than using an inequality
-    join. Integer-ratio arithmetic → exact double equality with the
-    oracle.
+    """S31c: exact word-bigram Jaccard near-dup pairs (J ≥ 0.5, the
+    same threshold as the MinHash verify) inside a composite blocking
+    key (lang × log2-size-bucket). The size bucket is floor(log2(
+    n_bigrams)) computed exactly as `length(bin(n)) - 1` in both
+    engines; each doc probes its own and the next-higher bucket.
+
+    The blocking is LOSSLESS for this threshold: J ≥ 0.5 forces
+    |∩| ≥ |∪|/2 ≥ max(|A|,|B|)/2 and |∩| ≤ min(|A|,|B|), so the size
+    ratio is ≤ 2, which bounds the floor-log2 bucket difference by 1 —
+    every qualifying pair is compared, yet per-block pair counts stay
+    bounded (no all-pairs-within-a-language blowup; sub-threshold
+    similarity mining is the MinHash-LSH path's job). Blocking is still
+    a pure equi-join (lang, probe=bucket) — the probe side explodes
+    into two bucket keys rather than using an inequality join.
+    Integer-ratio arithmetic → exact double equality with the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
@@ -323,7 +326,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a["lang"] == b["lang"]) & (F.col("probe") == F.col("bucket_b")))
         .filter(same | up)
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= 0.5)
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),

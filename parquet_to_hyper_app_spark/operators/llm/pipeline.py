@@ -34,19 +34,27 @@ from parquet_to_hyper_app_spark.operators.llm.dedup import (
     dedup_exact_df,
     verified_near_dup_pairs,
 )
+from parquet_to_hyper_app_spark.operators.llm.text import (
+    QUALITY_MAX_CHARS,
+    QUALITY_MAX_DIGIT_RATIO,
+    QUALITY_MIN_CHARS,
+)
 from parquet_to_hyper_app_spark.registry import query
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def quality_gate(docs: DataFrame) -> DataFrame:
-    """The text_quality boolean gate as a filter: length band 50..100k
-    chars and digit ratio < 0.3 (cheap heuristics before any shuffle)."""
+    """text_quality's boolean gate as a filter — same thresholds, one
+    definition (cheap heuristics applied before any shuffle)."""
     n_chars = F.length("text")
     digit_ratio = (
         F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / n_chars
     )
-    return docs.filter(n_chars.between(50, 100000) & (digit_ratio < 0.3))
+    return docs.filter(
+        n_chars.between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS)
+        & (digit_ratio < QUALITY_MAX_DIGIT_RATIO)
+    )
 
 
 def tokenized(docs: DataFrame) -> DataFrame:
@@ -64,7 +72,7 @@ def tokenized(docs: DataFrame) -> DataFrame:
 
 @query(
     "pipeline_training_corpus",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id, lang, source,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                AS n_bpe_tokens,
@@ -73,9 +81,9 @@ def tokenized(docs: DataFrame) -> DataFrame:
         SELECT doc_id, lang, source, text,
                row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         FROM documents
-        WHERE length(text) BETWEEN 50 AND 100000
+        WHERE length(text) BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS}
           AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-              / length(text) < 0.3
+              / length(text) < {QUALITY_MAX_DIGIT_RATIO}
     ) WHERE rn = 1
     """,
 )

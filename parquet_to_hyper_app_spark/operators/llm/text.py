@@ -75,6 +75,12 @@ def text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
+#: the quality gate's thresholds — single source of truth for
+#: text_quality AND pipeline_training_corpus (impls and oracles)
+QUALITY_MIN_CHARS = 50
+QUALITY_MAX_CHARS = 100_000
+QUALITY_MAX_DIGIT_RATIO = 0.3
+
 
 @query(
     "text_quality",
@@ -87,9 +93,9 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
                / nullif(length(text), 0) AS digit_ratio,
            CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
                / nullif(len(toks), 0) AS stopword_ratio,
-           length(text) BETWEEN 50 AND 100000
+           length(text) BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS}
                AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / nullif(length(text), 0) < 0.3 AS passes_quality
+                   / nullif(length(text), 0) < {QUALITY_MAX_DIGIT_RATIO} AS passes_quality
     FROM (
         SELECT doc_id, text,
                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -115,7 +121,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (punct.cast("double") / n_chars).alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
         (sw.cast("double") / F.size(toks)).alias("stopword_ratio"),
-        (n_chars.between(50, 100000) & (digit_ratio < 0.3)).alias("passes_quality"),
+        (
+            n_chars.between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS)
+            & (digit_ratio < QUALITY_MAX_DIGIT_RATIO)
+        ).alias("passes_quality"),
     )
 
 

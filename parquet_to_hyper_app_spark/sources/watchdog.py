@@ -42,7 +42,19 @@ def job_timeout(spark: SparkSession, seconds: float, desc: str = "conversion"):
 
     def _cancel() -> None:
         expired.set()
-        sc.cancelJobGroup(group)
+        # ...AndFutureJobs (Spark >= 3.5): cancellation is STICKY — a
+        # multi-action block whose budget expires between actions must
+        # not let the next action (e.g. the sink write) launch and
+        # commit after the deadline. Plain cancelJobGroup only kills
+        # jobs running at this instant.
+        if hasattr(sc, "cancelJobGroupAndFutureJobs"):
+            sc.cancelJobGroupAndFutureJobs(group)
+        else:
+            try:
+                # PySpark's wrapper lags the JVM API; call it directly
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+            except Exception:  # pragma: no cover - Spark < 3.5
+                sc.cancelJobGroup(group)
 
     timer = threading.Timer(seconds, _cancel)
     timer.daemon = True

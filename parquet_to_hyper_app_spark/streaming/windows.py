@@ -208,8 +208,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     stream = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .join(cust, raw.user_id == cust.c_custkey)
+        raw.join(cust, raw.user_id == cust.c_custkey)
         .select(
             "event_id",
             "user_id",

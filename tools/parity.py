@@ -64,12 +64,14 @@ def nonscalar_cells(pdf: pd.DataFrame) -> list[str]:
     locally so they never reach the driver.
     """
     bad = []
-    head = pdf.head(50)
     for col in pdf.columns:
-        if any(
-            isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray"
-            for v in head[col]
-        ):
+        # check the first NON-NULL value of every column over ALL rows:
+        # a nullable array column whose early rows are null would slip
+        # past any fixed-size head sample
+        s = pdf[col]
+        nn = s[s.notna()] if s.dtype == object else s.head(0)
+        v = nn.iloc[0] if len(nn) else None
+        if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
             bad.append(col)
     return bad
 
