@@ -115,6 +115,9 @@ _CHECK_PRIORITY = [
     "profile_columns",
     "source_csv_permissive",
     "stream_static_join",
+    "join_full_outer",
+    "window_first_last",
+    "sql_subquery_scalar",
     # -- changed this round (round-1 row is stale but green) --
     "dedup_ngram_jaccard",
     "join_asof",

@@ -534,3 +534,27 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total"),
         )
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM supplier s FULL OUTER JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8c: full-outer join — suppliers with no lineitems AND lineitems
+    with unknown suppliers both survive with NULLs on the missing side.
+    Full-outer cannot broadcast (both sides must stream unmatched
+    rows), so Catalyst plans a shuffle sort-merge join on the key —
+    the correct and only scalable shape for this operator.
+    """
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"
+    )
+    return (
+        s.join(li, li.l_suppkey == s.s_suppkey, "full_outer")
+        .select("s_suppkey", "s_name", "l_orderkey", "l_linenumber", "l_quantity")
+    )

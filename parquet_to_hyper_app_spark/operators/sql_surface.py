@@ -236,3 +236,31 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM {v})
         GROUP BY o_orderstatus
     """)
+
+
+@query(
+    "sql_subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+    FROM customer c
+    WHERE c_custkey < 200
+    """,
+)
+def sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery: per-customer total spend inline in
+    the select list. Catalyst de-correlates it into a left outer join
+    against the pre-aggregated orders side — one shuffle on custkey,
+    never a per-row re-execution (which is what a naive interpreter,
+    and the oracle's textual form, would imply). Decimal-exact sum per
+    the money convention."""
+    co = _view(spark, sf_dir, "customer")
+    oo = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name,
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                FROM {oo} o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        FROM {co} c
+        WHERE c_custkey < 200
+    """)
