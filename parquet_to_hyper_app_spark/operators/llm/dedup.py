@@ -251,40 +251,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     , sized AS (
-        SELECT doc_id, lang, bigrams,
-               length(bin(len(bigrams))) - 1 AS bucket
+        SELECT doc_id, lang, bigrams
         FROM (SELECT doc_id, lang,
                      list_filter(bigrams, g -> g <> '') AS bigrams
               FROM grams)
         WHERE len(bigrams) > 0
     )
-    SELECT least(a.doc_id, b.doc_id) AS doc_a,
-           greatest(a.doc_id, b.doc_id) AS doc_b,
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
            / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
     FROM sized a JOIN sized b
-      ON a.lang = b.lang
-     AND ((b.bucket = a.bucket AND a.doc_id < b.doc_id) OR b.bucket = a.bucket + 1)
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
           / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31c: exact word-bigram Jaccard near-dup pairs (J ≥ 0.5, the
-    same threshold as the MinHash verify) inside a composite blocking
-    key (lang × log2-size-bucket). The size bucket is floor(log2(
-    n_bigrams)) computed exactly as `length(bin(n)) - 1` in both
-    engines; each doc probes its own and the next-higher bucket.
+    """S31c: EXACT word-bigram Jaccard near-dup pairs (J ≥ 0.5, the
+    same threshold as the MinHash verify) via a frequency-ordered
+    prefix filter (the All-Pairs/PPJoin candidate scheme).
 
-    The blocking is LOSSLESS for this threshold: J ≥ 0.5 forces
-    |∩| ≥ |∪|/2 ≥ max(|A|,|B|)/2 and |∩| ≤ min(|A|,|B|), so the size
-    ratio is ≤ 2, which bounds the floor-log2 bucket difference by 1 —
-    every qualifying pair is compared, yet per-block pair counts stay
-    bounded (no all-pairs-within-a-language blowup; sub-threshold
-    similarity mining is the MinHash-LSH path's job). Blocking is still
-    a pure equi-join (lang, probe=bucket) — the probe side explodes
-    into two bucket keys rather than using an inequality join.
-    Integer-ratio arithmetic → exact double equality with the oracle.
+    Candidate generation: every doc's distinct bigrams are ranked by a
+    global total order (ascending document frequency within the lang,
+    hash tie-break — rarest first); a pair with J ≥ 0.5 MUST share at
+    least one bigram inside both docs' first floor(n/2)+1 ranked
+    bigrams. Proof: J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max(n_a, n_b); the
+    smallest (by the order) common bigram w has at most |∩|−1 common
+    elements after it, so w sits at position ≤ n − ⌈t·n⌉ + 1 in BOTH
+    docs. Candidates therefore come from an equi-join on (lang,
+    prefix-bigram) — dominated by RARE tokens (df-ordered prefixes),
+    so candidate volume tracks near-dup density, not block size² —
+    plus a size-ratio ≤ 2 residual (J ≥ 0.5 forces it). The exact
+    verify intersects per-doc int64 hash arrays (strings hashed once,
+    |A∪B| = n_a + n_b − |∩|). The oracle is the EXHAUSTIVE
+    within-language join, so the value-hash check proves the prefix
+    filter lossless, not merely self-consistent.
+
+    At 100 TB: document-frequency ranking is one explode + count +
+    join (all bounded by corpus token volume); the candidate join's
+    hot keys are capped by prefix membership; the quadratic regime
+    only reappears if the corpus is mostly one duplicate cluster — in
+    which case the output itself is quadratic. Sub-threshold mining
+    stays the MinHash-LSH path's job.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
@@ -299,40 +307,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty/whitespace-only docs: Spark's concat_ws over a missing token
     # yields bigrams=[''] where the oracle's NULL-dropping list_distinct
     # yields [] — normalize to [] and exclude such docs in both engines
+    # hash each distinct bigram ONCE per doc: candidate generation and
+    # the per-pair verify both run on int64s; string bytes are never
+    # rescanned per pair (that rescan alone cost 97s at sf0.1)
     grams = (
         grams.withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
         .filter(F.size("bigrams") > 0)
-        .withColumn("bucket", F.length(F.bin(F.size("bigrams"))) - 1)
+        .withColumn("hashes", F.transform("bigrams", lambda g: F.xxhash64(g)))
+        .drop("bigrams")
+        .withColumn("n", F.size("hashes"))
+        .persist()  # read 3×: df ranking, prefixes, verify arrays
     )
-    a = grams.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang"),
-        F.col("bucket").alias("bucket_a"),
-        F.col("bigrams").alias("bg_a"),
-        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("probe"),
+    # global total order per lang: (document frequency asc, hash) —
+    # prefixes fill with the RAREST bigrams first
+    occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
+    df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        occ.join(df_tab, ["lang", "h"])
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("rk"))
     )
-    b = grams.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("bigrams").alias("bg_b"),
+    # J >= 0.5 ⇒ the smallest common bigram lies within the first
+    # n - ceil(n/2) + 1 = floor(n/2) + 1 ranked bigrams of BOTH docs
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(0.5)) + 1).cast("int")
+    pref = ranked.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.explode(F.slice(F.transform("rk", lambda x: x["h"]), 1, plen)).alias("ph"),
     )
-    jac = F.size(F.array_intersect("bg_a", "bg_b")).cast("double") / F.size(
-        F.array_union("bg_a", "bg_b")
+    pa = pref.select(
+        F.col("doc_id").alias("id_a"), "lang", F.col("n").alias("n_a"), "ph"
     )
-    same = (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
-    up = F.col("bucket_b") == F.col("bucket_a") + 1
-    return (
-        a.join(b, (a["lang"] == b["lang"]) & (F.col("probe") == F.col("bucket_b")))
-        .filter(same | up)
+    pb = pref.select(
+        F.col("doc_id").alias("id_b"), "lang", F.col("n").alias("n_b"), "ph"
+    )
+    cand = (
+        pa.join(pb, ["lang", "ph"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size-ratio residual: J >= 0.5 forces max(n)/min(n) <= 2
+            & (F.col("n_a") <= 2 * F.col("n_b"))
+            & (F.col("n_b") <= 2 * F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("hashes").alias("h_a"), F.col("n").alias("n_a")
+    )
+    vb = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("hashes").alias("h_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| — array_union per pair not needed
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            "jaccard",
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
         )
     )
+    # the (small) pair set materializes eagerly so the corpus-wide
+    # hash-array cache releases now, not at session end (same pattern
+    # as verified_near_dup_pairs)
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10) -> DataFrame:

@@ -1,0 +1,143 @@
+"""Measured scaling probe for the scale-sensitive operators.
+
+    python tools/scale_probe.py [--scales 1 2 4] [--sf /root/testdata/sf0.1]
+
+The sf0.1 testdata verifies correctness; this tool measures how runtime
+GROWS as the same data is replicated K× — the empirical check behind
+docs/SCALE.md's complexity claims. A bucketed/blocked operator should
+scale ~linearly in rows; an accidental all-pairs would go quadratic and
+is immediately visible in the ratio column.
+
+Replication preserves the workload's *structure* instead of creating a
+pathological one:
+- documents: every token is prefixed with a per-copy tag, so each copy
+  keeps its internal near-dup structure but shares no shingles across
+  copies (a K× corpus with the same dup-rate — NOT K² cross-copy dups);
+- embeddings: each copy's vectors are dimension-rotated by the copy
+  index, so cross-copy cosines are ~random while within-copy geometry
+  is untouched;
+- events/orders: entity keys shift by copy, preserving per-user
+  densities for the as-of join.
+
+Probed keys (the ones whose scale posture is non-trivial):
+dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard,
+dedup_embedding_lsh, join_asof, sessionize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
+from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
+
+PROBE_KEYS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "join_asof",
+    "sessionize",
+]
+
+#: tables the probed keys read
+TABLES = ("documents", "embeddings", "events", "orders")
+
+
+def _replicate(spark: SparkSession, sf_dir: str, out_dir: str, k: int) -> None:
+    """Write k disjoint copies of each probe table into out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        copies = []
+        for c in range(k):
+            df = src
+            if name == "documents":
+                shift = F.lit(c) * F.lit(1_000_000)
+                df = df.withColumn("doc_id", F.col("doc_id") + shift)
+                if c > 0:
+                    df = df.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"c{c}_$1")
+                    )
+            elif name == "embeddings":
+                df = df.withColumn("vec_id", F.col("vec_id") + F.lit(c) * F.lit(1_000_000))
+                if c > 0:
+                    d = len(src.select("embedding").first()[0])
+                    r = c % d
+                    df = df.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", r + 1, d - r), F.slice("embedding", 1, r)
+                        ),
+                    )
+            elif name == "events":
+                shift = F.lit(c) * F.lit(1_000_000)
+                df = df.withColumn("event_id", F.col("event_id") + shift).withColumn(
+                    "user_id", F.col("user_id") + shift
+                )
+            elif name == "orders":
+                shift = F.lit(c) * F.lit(1_000_000)
+                df = df.withColumn("o_orderkey", F.col("o_orderkey") + shift).withColumn(
+                    "o_custkey", F.col("o_custkey") + shift
+                )
+            copies.append(df)
+        out = copies[0]
+        for df in copies[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scales", nargs="*", type=int, default=[1, 2, 4])
+    ap.add_argument("--keys", nargs="*", default=PROBE_KEYS)
+    args = ap.parse_args()
+
+    spark = build_session("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    base = os.path.join(tempfile.gettempdir(), "p2h_scale_probe")
+    specs = load_all()
+    times: dict[str, dict[int, float]] = {k: {} for k in args.keys}
+    rows: dict[str, dict[int, int]] = {k: {} for k in args.keys}
+
+    for k in args.scales:
+        probe_dir = os.path.join(base, f"x{k}")
+        _replicate(spark, args.sf, probe_dir, k)
+        for key in args.keys:
+            fn = specs[key].fn
+            fn(spark, probe_dir).count()  # warm (codegen, file listing)
+            t0 = time.time()
+            n = fn(spark, probe_dir).count()
+            times[key][k] = time.time() - t0
+            rows[key][k] = n
+
+    s0 = args.scales[0]
+    print(f"\nscale probe over {args.sf} (seconds, warm; ratio vs x{s0})")
+    hdr = "key".ljust(24) + "".join(f"x{k}".rjust(10) for k in args.scales) + "   growth"
+    print(hdr)
+    print("-" * len(hdr))
+    for key in args.keys:
+        t = times[key]
+        growth = t[args.scales[-1]] / t[s0] if t[s0] > 0 else float("inf")
+        line = key.ljust(24) + "".join(f"{t[k]:9.2f}s" for k in args.scales)
+        print(line + f"   {growth:5.1f}x over {args.scales[-1] // s0}x data")
+    print("\nresult rows per scale (sanity: structure preserved, not exploded)")
+    for key in args.keys:
+        print(f"  {key}: " + ", ".join(f"x{k}={rows[key][k]}" for k in args.scales))
+
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
