@@ -125,3 +125,45 @@ def test_salted_agg_is_two_phase(spark):
     s = plan_stats(df)
     assert s.shuffles == 2, s
     assert s.nested_loop_joins == 0, s
+
+
+def test_tpch_star_joins_broadcast_dims(executed_stats):
+    """The round-2 TPC-H additions must keep every bounded dimension on
+    the broadcast side; the only repartition joins are the fact-fact
+    ones (orders⋈customer / lineitem⋈orders / lineitem⋈per-part agg)."""
+    assert executed_stats["tpch_q5"].broadcast_joins >= 3, executed_stats["tpch_q5"]
+    assert executed_stats["tpch_q8"].broadcast_joins >= 3, executed_stats["tpch_q8"]
+    for k in ("tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q15", "tpch_q17"):
+        assert executed_stats[k].nested_loop_joins == 0, (k, executed_stats[k])
+
+
+def test_tpch_q7_broadcasts_dims_pre_aqe(spark):
+    """At sf0.001 no supplier sits in the q7 nation pair, so AQE's
+    empty-relation propagation collapses the executed plan to a
+    LocalTableScan (correct, and itself worth pinning). The broadcast
+    shape is asserted on the pre-execution plan instead."""
+    df = load_all()["tpch_q7"].fn(spark, SF_SMOKE)
+    lazy_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert lazy_plan.count("BroadcastHashJoin") >= 2, lazy_plan
+    df.foreachPartition(lambda _it: None)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "EmptyRelation" in final or "LocalTableScan" in final, final
+
+
+def test_tpch_q10_top20_is_take_ordered(spark):
+    """Q10's top-20 must plan as TakeOrderedAndProject (O(k) heap per
+    partition), never a global Sort followed by Limit."""
+    df = load_all()["tpch_q10"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q17_self_join_copartitioned(spark):
+    """Q17 joins lineitem with its own per-part aggregate; both sides
+    hash-partition on partkey so the join itself adds no third
+    exchange (2 shuffles: fact side + agg side, reused by the join)."""
+    df = load_all()["tpch_q17"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.shuffles <= 3, s  # partkey x2 + final single-partition agg
+    assert s.nested_loop_joins == 0, s
