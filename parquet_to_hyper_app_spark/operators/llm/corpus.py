@@ -1,0 +1,298 @@
+"""Corpus-level curation operators for LLM training-data pipelines.
+
+Three pipeline stages that operate across documents rather than within
+them: benchmark-contamination detection (n-gram overlap against a
+held-out evaluation set), within-document repetition metrics (the
+Gopher-style "repetitious text" filters), and the per-source quality
+rollup a curation run reports at the end.
+
+Scale notes are on each operator; none is all-pairs — contamination is
+an equi-join on n-gram hash, repetition is explode + two-level
+aggregation, the rollup is a plain grouped aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.operators.llm.text import (
+    QUALITY_MAX_CHARS,
+    QUALITY_MAX_DIGIT_RATIO,
+    QUALITY_MIN_CHARS,
+    tokens,
+)
+from parquet_to_hyper_app_spark.registry import query
+
+#: contamination n-gram order: long enough that a shared gram implies a
+#: copied span, short enough to catch partial overlap (WMT/benchmark
+#: decontamination typically uses 8–13; the synthetic corpus's docs are
+#: ~40 tokens, so 5 keeps the check meaningful at test scale)
+_CONTAM_N = 5
+#: every doc_id ≡ 0 (mod 20) plays the role of the held-out benchmark
+#: set — in production this is an external table; a deterministic
+#: modulus keeps the oracle trivially in sync
+_BENCH_MOD = 20
+
+
+def _ngram_hashes(toks_col: str, n: int) -> Column:
+    """Distinct xxhash64 of the space-joined word n-grams of the
+    ALREADY-MATERIALIZED token-array column ``toks_col``; [] when the
+    doc has fewer than n tokens.
+
+    Two deliberate shapes: the token array must be a named column (a
+    lambda capturing the split() expression would re-evaluate the
+    split per element access — measured 24 s vs 1 s at sf0.1), and the
+    hash is taken inside the same transform so gram strings are never
+    materialized as an array. Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0] rather than [], so short docs are gated with an
+    explicit when().
+    """
+    terms = ", ".join(f"{toks_col}[i+{k}-1]" if k else f"{toks_col}[i-1]" for k in range(n))
+    grams = F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', {terms})))"
+    )
+    return F.when(F.size(toks_col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - {_CONTAM_N - 1}, 0)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+               )) AS grams
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} <> 0)
+        JOIN bench USING (gram)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(hits.doc_id) AS n_contaminated,
+           CAST(count(hits.doc_id) AS DOUBLE) / count(*) AS contamination_rate
+    FROM g LEFT JOIN hits USING (doc_id)
+    WHERE g.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY source
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share any
+    {n}-gram with the held-out benchmark set, rolled up per source.
+
+    The scale shape (the reason this is never all-pairs): both sides
+    reduce to DISTINCT n-gram hashes, and contamination is one
+    equi-join on the hash — candidate volume is bounded by corpus
+    token count, not |corpus| × |benchmark|. The benchmark side is
+    tiny in practice and AQE broadcasts it; per-doc dedup
+    (array_distinct before the explode) keeps hot grams from
+    amplifying. Grams are compared as xxhash64 ints, never re-scanned
+    as strings (the oracle joins the strings themselves — a 64-bit
+    collision would surface as a hash mismatch, and doesn't).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # the gram table is read three times (benchmark grams, corpus
+    # explode, final per-source rollup) — persist it ONCE. Without the
+    # cache boundary, Catalyst's InferFiltersFromGenerate pushes a
+    # size(grams) > 0 predicate with the WHOLE inlined n-gram
+    # expression into the scan (split() interpreted ~n times per row —
+    # measured 12 s of the 13 s total at sf0.1); against the cache the
+    # same inferred filter costs one size() on a materialized array.
+    g = (
+        docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .select(
+            "doc_id",
+            "source",
+            _ngram_hashes("__toks", _CONTAM_N).alias("grams"),
+        )
+        .persist()
+    )
+    bench = (
+        g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    out = (
+        corpus.join(hits.withColumn("__hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+            (F.count("__hit").cast("double") / F.count(F.lit(1))).alias("contamination_rate"),
+        )
+    )
+    # ≤ |sources| rows: materialize eagerly so the corpus-wide gram
+    # cache releases now (same lifecycle as verified_near_dup_pairs)
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1])
+                   )) AS bigram
+            FROM t WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, bigram
+    ),
+    rep AS (
+        SELECT doc_id,
+               CAST(max(c) AS BIGINT) AS top_bigram_n,
+               CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+                   AS dup_bigram_frac
+        FROM big GROUP BY doc_id
+    )
+    SELECT t.doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+           top_bigram_n, top_bigram_frac, dup_bigram_frac
+    FROM t JOIN rep ON t.doc_id = rep.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher repetition
+    filters): duplicate-word fraction, most-frequent-bigram share, and
+    the fraction of bigram occurrences that are repeats.
+
+    Per-doc scalars (token count, distinct-word fraction) are pure
+    array expressions — zero shuffle. The bigram histogram explodes to
+    (doc, bigram) rows and aggregates twice: the first groupBy keys on
+    (doc_id, bigram) so no single document's histogram concentrates on
+    one task even for a 100k-token document; the second reduces one
+    row per distinct bigram per doc. Docs with < 2 tokens have no
+    bigrams and are excluded (mirrored by the oracle's inner join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    base = (
+        docs.withColumn("__toks", toks)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("__toks")).cast("double") / F.size("__toks")
+            ).alias("dup_word_frac"),
+            F.expr(
+                "transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+                " i -> concat_ws(' ', __toks[i-1], __toks[i]))"
+            ).alias("bigrams"),
+        )
+        .withColumn("bigrams", F.when(F.col("n_tokens") >= 2, F.col("bigrams")))
+    )
+    # explode_outer, NOT explode: an inner explode makes Catalyst infer
+    # a size(bigrams) > 0 filter and push it into the scan with the
+    # whole bigram expression inlined (split() re-evaluated per row in
+    # an interpreted Filter). The outer variant generates one null row
+    # for short docs instead, filtered right after the Generate where
+    # it only touches the generated column.
+    hist = (
+        base.select(
+            "doc_id", "lang", "n_tokens", "dup_word_frac",
+            F.explode_outer("bigrams").alias("bigram"),
+        )
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("lang").alias("lang"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("dup_word_frac").alias("dup_word_frac"),
+        )
+    )
+    return hist.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("dup_word_frac").alias("dup_word_frac"),
+        F.max("c").alias("top_bigram_n"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    ).select(
+        "doc_id", "lang", "n_tokens", "dup_word_frac",
+        "top_bigram_n", "top_bigram_frac", "dup_bigram_frac",
+    )
+
+
+@query(
+    "quality_rollup_source",
+    oracle=f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(text) BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS}
+                          AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                              / nullif(length(text), 0) < {QUALITY_MAX_DIGIT_RATIO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN length(text) BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS}
+                          AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                              / nullif(length(text), 0) < {QUALITY_MAX_DIGIT_RATIO}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def quality_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-run report: per (source, language) document counts,
+    quality-gate pass rate (same single-source-of-truth thresholds as
+    text_quality), and total character volume.
+
+    One partial+final hash aggregate over ≤ |sources|×|langs| groups —
+    the shuffle moves ~nothing at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    digit_ratio = (
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / n_chars
+    )
+    passes = n_chars.between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS) & (
+        digit_ratio < QUALITY_MAX_DIGIT_RATIO
+    )
+    p = F.when(passes, F.lit(1)).otherwise(F.lit(0))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(p).cast("long").alias("n_pass"),
+        (F.sum(p).cast("double") / F.count(F.lit(1))).alias("pass_rate"),
+        F.sum(n_chars).cast("long").alias("total_chars"),
+    )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from parquet_to_hyper_app_spark.operators import timeseries  # noqa: F401
     from parquet_to_hyper_app_spark.operators import tpch  # noqa: F401
     from parquet_to_hyper_app_spark.operators import windows  # noqa: F401
+    from parquet_to_hyper_app_spark.operators.llm import corpus  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import dedup  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import features  # noqa: F401
     from parquet_to_hyper_app_spark.operators.llm import multimodal  # noqa: F401

@@ -176,3 +176,67 @@ def test_embedding_lsh_recall_and_plan(spark):
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- corpus ops
+
+
+def test_contamination_flags_shared_span(spark):
+    """A corpus doc sharing a 5-token span with a benchmark doc
+    (doc_id % 20 == 0) must count as contaminated; disjoint docs not."""
+    from parquet_to_hyper_app_spark.operators.llm import corpus as corpus_mod
+
+    rows = [
+        (20, "alpha beta gamma delta epsilon zeta", "en", "s0", 1),  # benchmark
+        (1, "XX alpha beta gamma delta epsilon YY", "en", "s0", 1),  # copied span
+        (2, "one two three four five six seven", "en", "s1", 1),  # clean
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.source: (r.n_contaminated, r.n_docs)
+            for r in corpus_mod.contamination_ngram(spark, d).collect()
+        }
+    assert out["s0"] == (1, 1)
+    assert out["s1"] == (0, 1)
+
+
+def test_doc_repetition_planted(spark):
+    """A doc that is one phrase repeated must score near-1 dup
+    fractions; an all-distinct doc scores 0."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import doc_repetition
+    import tempfile, os
+
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham", "en", "s0", 1),
+        (2, "one two three four five six", "en", "s0", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in doc_repetition(spark, d).collect()}
+    rep, clean = out[1], out[2]
+    assert rep.dup_word_frac == 1 - 2 / 8
+    assert rep.top_bigram_n == 4  # "spam ham" x4
+    assert rep.dup_bigram_frac == 1.0  # every bigram occurrence repeats
+    assert clean.dup_word_frac == 0.0
+    assert clean.dup_bigram_frac == 0.0
+    assert clean.top_bigram_n == 1
+
+
+def test_quality_rollup_matches_gate(spark):
+    """The rollup's n_pass must equal text_quality's passes_quality
+    count — one source of truth for the thresholds."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import quality_rollup_source
+    from parquet_to_hyper_app_spark.operators.llm.text import text_quality
+
+    n_pass = sum(r.n_pass for r in quality_rollup_source(spark, SF_SMOKE).collect())
+    gate = text_quality(spark, SF_SMOKE).filter("passes_quality").count()
+    assert n_pass == gate
