@@ -558,3 +558,93 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(li, li.l_suppkey == s.s_suppkey, "full_outer")
         .select("s_suppkey", "s_name", "l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23b: INTERSECT ALL — multiset semantics: each custkey keeps
+    min(count_left, count_right) copies (a customer with 5 orders and
+    one positive-balance row yields 1 copy, not 5 and not 1-distinct).
+    Spark's intersectAll plans this as a single aggregate-join — no
+    row-number trick needed."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersectAll(c)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24b: EXCEPT ALL — multiset difference: a customer with n
+    orders keeps n − 1 custkey copies after subtracting their one
+    customer row (distinct EXCEPT would drop them entirely). The
+    result is exactly the "repeat orders" multiset."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12b: as-of join with a staleness tolerance — latest order at
+    or before each event but no older than 30 days (pandas
+    merge_asof's `tolerance=`). Same skew-proof shape as join_asof
+    (equi-join + residual band, max-struct aggregation instead of a
+    window) with the tolerance as a second residual; events whose only
+    matches are stale fall back to NULL exactly like the oracle's
+    left join."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders,
+        (orders.o_custkey == ev.user_id)
+        & (orders.o_orderdate <= ev.ts)
+        & (orders.o_orderdate >= F.col("ts") - F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
+    )

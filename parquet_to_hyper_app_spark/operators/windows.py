@@ -175,3 +175,47 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_1h_value,
+           CAST(count(*)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_1h_n
+    FROM events
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20b: time-interval RANGE frame — per user, the sum/count of
+    event values in the trailing hour [ts − 1h, ts]. Unlike a ROWS
+    frame, peers with equal timestamps all enter the frame, and gaps
+    in event time shrink the window — the semantics a rate limiter or
+    rolling exposure metric actually needs.
+
+    Spark's rangeBetween needs a numeric order key, so the frame runs
+    over epoch MICROseconds (the native resolution of the data —
+    truncating to seconds would silently widen the window vs the
+    oracle's INTERVAL frame). One shuffle on user_id, frames stream."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "trailing_1h_value"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_1h_n"),
+    )

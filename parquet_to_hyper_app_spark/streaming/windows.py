@@ -218,3 +218,68 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(stream, qname, ckpt, "append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           a.ts AS view_ts, b.ts AS purchase_ts,
+           CAST(b.value AS DOUBLE) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S38d: stream-stream interval join — attribute each purchase to
+    the views by the same user in the preceding 30 minutes.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both ends, which is what lets Spark EVICT join state: a
+    buffered view can be dropped once the purchase-side watermark
+    passes view_ts + 30 min (state is bounded by the interval × rate,
+    not the stream length). An inner stream-stream join emits each
+    match exactly once as both sides arrive, so driving the single
+    availableNow batch to completion is batch-equivalent and the
+    oracle is the plain self-join. At scale both sides shuffle on
+    user_id into the same state-store partitioning — one exchange
+    each, same as a batch shuffle join.
+    """
+    qname = f"ssx_{uuid.uuid4().hex[:8]}"
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+    return run_to_memory(joined, qname, ckpt, "append")
