@@ -296,3 +296,71 @@ def quality_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(p).cast("double") / F.count(F.lit(1))).alias("pass_rate"),
         F.sum(n_chars).cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "text_cross_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT token, count(*) AS tf FROM tok GROUP BY token
+    ),
+    tot AS (SELECT sum(tf) AS n FROM freq),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(-log2(CAST(tf AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS bits
+        FROM tok JOIN freq USING (token), tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(bits) AS DOUBLE) AS total_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the cheap statistical quality
+    signal: score every document by its mean −log₂ p(token) under the
+    corpus's own unigram distribution (low = repetitive/common, high =
+    rare-token soup; both tails get filtered in curation runs).
+
+    Float discipline: −log₂p is transcendental, so each per-token
+    surprisal is rounded to 6 dp and cast to DECIMAL(18,6) BEFORE the
+    per-doc sum — the sum is then order-independent and exact in both
+    engines (the [[oracle-parity-conventions]] round-then-decimal-sum
+    rule; summing raw doubles would hash-flip on partial-agg order).
+
+    Shape: one explode of the corpus, a token-frequency aggregate
+    (bounded by vocabulary), a 1-row total broadcast onto the freq
+    table, then the scoring join token→surprisal (freq side is
+    vocab-sized — AQE broadcasts it under any realistic vocabulary)
+    and a per-doc aggregate. No step is ever quadratic; everything is
+    bounded by corpus token volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .select("doc_id", F.explode_outer("__toks").alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("n"))
+    scored = (
+        tok.join(freq, "token")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("tf").cast("double") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("bits").cast("double").alias("total_bits"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("bits_per_token"),
+    )

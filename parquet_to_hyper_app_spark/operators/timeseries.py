@@ -142,3 +142,57 @@ def stratified_sample(df: DataFrame, col: str, fractions: dict, seed: int = 42) 
     sampling). Seeded but partitioning-dependent — use sample_hash's
     arithmetic scheme when cross-run reproducibility matters."""
     return df.sampleBy(col, fractions, seed)
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH obs AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        FROM obs
+        WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD2 dimension history: collapse each customer's order
+    stream into status intervals — a row per status RUN with
+    [valid_from, valid_to) bounds and an is_current flag on the open
+    interval. The standard slowly-changing-dimension build (orders
+    stand in for a CDC feed ordered by (o_orderdate, o_orderkey) — the
+    unique tie-break makes runs deterministic in both engines).
+
+    Shape: one shuffle on custkey; both window passes (lag to find run
+    starts, lead to close intervals) and the filter reuse that single
+    partitioning — Catalyst plans one Exchange + one Sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("o_orderstatus") != F.col("prev_status"))
+        )
+    )
+    valid_to = F.lead("o_orderdate").over(w)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

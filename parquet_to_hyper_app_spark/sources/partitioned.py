@@ -142,3 +142,46 @@ def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_id, ts, user_id, CAST(value AS DOUBLE) AS value, event_type
+    FROM events WHERE event_type <> 'click'
+    UNION ALL
+    SELECT event_id, ts, user_id, CAST(value AS DOUBLE) AS value, event_type
+    FROM events WHERE event_type = 'click' AND value >= 50
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill sink
+    semantics every partitioned lake job needs: a second write with
+    partitionOverwriteMode=dynamic replaces ONLY the partitions it
+    produces rows for, leaving sibling partitions untouched (static
+    mode would truncate the whole table first).
+
+    Demonstrated as seed-then-backfill: the full events table is
+    written partitioned by event_type, then a curated recompute of just
+    the 'click' partition (value ≥ 50) overwrites it in place. The
+    read-back must therefore contain every non-click event unchanged
+    plus only the curated clicks — which is exactly the oracle. The
+    overwrite mode rides a per-write option, not a session conf, so
+    the driver-owned session is untouched. At scale each dynamic
+    overwrite is a metadata swap of the partition directories written
+    by the job — no read-modify-write of the table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    path = os.path.join(tempfile.gettempdir(), "p2h_spark_part", "dyn_overwrite")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 50))
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )

@@ -20,6 +20,7 @@ BNLJ_ALLOWED = {
     "similarity_topk",
     "dedup_embedding",
     "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
+    "text_cross_entropy",  # 1-row corpus-total broadcast onto the vocab table
 }
 #: side-effecting / streaming queries excluded from pure-plan checks
 SKIP = {"stream_watermark_late", "convert_sink", "convert_sink_events"}
