@@ -118,6 +118,24 @@ _CHECK_PRIORITY = [
     "join_full_outer",
     "window_first_last",
     "sql_subquery_scalar",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "scd2_history",
+    "set_intersect_all",
+    "set_except_all",
+    "join_asof_tolerance",
+    "window_range_interval",
+    "contamination_ngram",
+    "doc_repetition",
+    "quality_rollup_source",
+    "text_cross_entropy",
+    "sink_dynamic_partition_overwrite",
+    "stream_stream_join",
     # -- changed this round (round-1 row is stale but green) --
     "dedup_ngram_jaccard",
     "join_asof",
