@@ -136,6 +136,11 @@ _CHECK_PRIORITY = [
     "text_cross_entropy",
     "sink_dynamic_partition_overwrite",
     "stream_stream_join",
+    "tpch_q1",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
     # -- changed this round (round-1 row is stale but green) --
     "dedup_ngram_jaccard",
     "join_asof",
