@@ -141,6 +141,12 @@ _CHECK_PRIORITY = [
     "tpch_q12",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     # -- changed this round (round-1 row is stale but green) --
     "dedup_ngram_jaccard",
     "join_asof",
