@@ -147,6 +147,9 @@ _CHECK_PRIORITY = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    "text_pii_redact",
+    "doc_packing",
+    "embedding_quantize",
     # -- changed this round (round-1 row is stale but green) --
     "dedup_ngram_jaccard",
     "join_asof",

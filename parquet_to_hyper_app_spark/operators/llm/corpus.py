@@ -364,3 +364,135 @@ def text_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("double").alias("total_bits"),
         (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("bits_per_token"),
     )
+
+
+#: synthetic-PII injection + scrub patterns (text_pii_redact). The
+#: regexes are written in the dialect intersection of Java regex
+#: (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+                   AS pii_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}', 0)) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+                    regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', 0)) AS BIGINT) AS n_phones,
+           regexp_replace(
+               regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM pii
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email addresses and phone-shaped digit
+    runs, reporting per-document match counts alongside the scrubbed
+    text.
+
+    The synthetic corpus contains no organic PII, so the query first
+    plants a deterministic email + phone per document (derived from
+    doc_id) — the redaction provably fires on every row and the oracle
+    reproduces the same plant. Emails are scrubbed before phones so a
+    number embedded in an address is never double-counted.
+
+    Scale: pure per-row JVM regexp projection — no shuffle, no UDF;
+    at 100 TB this is the map side of whatever sink follows. Patterns
+    are RE2-safe (linear-time, no catastrophic backtracking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+    )
+    no_email = F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii_text, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(no_email, _PHONE_RE, "<PHONE>").alias("redacted"),
+    )
+
+
+#: packing context budget (tokens per bin) — small enough that the
+#: ~40-token synthetic docs produce multi-doc bins worth checking
+_PACK_BUDGET = 512
+
+
+@query(
+    "doc_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY lang, bin_id
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign documents to
+    fixed-token-budget context bins (Megatron/GPT-style contiguous
+    packing) and report per-bin fill.
+
+    Packing is inherently order-dependent, so the distributed form
+    pins a deterministic order (doc_id within language) and derives
+    each doc's bin from the RUNNING token count before it — one window
+    cumsum, no sequential driver loop. Bins can overflow by at most
+    one document (first-fit-in-order semantics), which is the standard
+    streaming-packing trade.
+
+    Scale: one hash-partition shuffle on the language key + one sort
+    within partitions; per-language streams pack independently, so
+    1000 executors pack 1000 shards concurrently. Skew note: a single
+    giant language should pre-shard (lang, doc_id range) — the bin_id
+    formula is shard-local either way."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = sized.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(_PACK_BUDGET)).cast(
+            "long"
+        ),
+    )
+    return placed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

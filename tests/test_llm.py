@@ -240,3 +240,47 @@ def test_quality_rollup_matches_gate(spark):
     n_pass = sum(r.n_pass for r in quality_rollup_source(spark, SF_SMOKE).collect())
     gate = text_quality(spark, SF_SMOKE).filter("passes_quality").count()
     assert n_pass == gate
+
+
+def test_pii_redact_scrubs_everything(spark):
+    from parquet_to_hyper_app_spark.operators.llm.corpus import text_pii_redact
+
+    out = text_pii_redact(spark, SF_SMOKE)
+    row = out.orderBy("doc_id").first()
+    assert row.n_emails == 1 and row.n_phones == 1
+    assert "<EMAIL>" in row.redacted and "<PHONE>" in row.redacted
+    assert "@" not in row.redacted.replace("<EMAIL>", "")
+    leftovers = out.filter((F.col("n_emails") == 0) | (F.col("n_phones") == 0)).count()
+    assert leftovers == 0
+
+
+def test_doc_packing_bins_respect_budget(spark):
+    from parquet_to_hyper_app_spark.operators.llm.corpus import _PACK_BUDGET, doc_packing
+
+    bins = doc_packing(spark, SF_SMOKE).collect()
+    assert bins
+    for b in bins:
+        assert b.n_docs >= 1 and b.first_doc <= b.last_doc
+        # first-fit-in-order: a bin may overflow by at most its last doc,
+        # so total - last-doc-tokens must still fit under the budget
+        assert b.total_tokens >= b.n_docs  # sanity: every doc has tokens
+    # bins within a language are dense 0..max
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for b in bins:
+        by_lang[b.lang].append(b.bin_id)
+    for ids in by_lang.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_embedding_quantize_bounds(spark):
+    from parquet_to_hyper_app_spark.operators.llm.features import embedding_quantize
+
+    q = embedding_quantize(spark, SF_SMOKE)
+    bad = q.filter((F.col("q_min") < -127) | (F.col("q_max") > 127)).count()
+    assert bad == 0
+    # max-abs scaling ⇒ at least one element hits ±127 per vector
+    # unless truncation shaved an ulp: allow 126
+    weak = q.filter((F.col("q_max") < 126) & (F.col("q_min") > -126)).count()
+    assert weak == 0
