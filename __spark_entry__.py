@@ -54,117 +54,70 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-2 check ordering. The driver verified the first 50 registry keys
-# in round 1 (CORRECTNESS_r01.json == registry order[:50]); to get every
-# key a driver-verified row across rounds, the keys with no round-1 row
-# come first, then keys whose implementation changed this round (their
-# round-1 row is stale), then headline re-checks. Keys not listed follow
-# in registry order.
+# Round-3 check ordering. The driver verifies the FIRST 50 keys of this
+# dict per round; rounds 1+2 together produced rows for 99 of 134 keys.
+# Slots 1–35: every key with NO driver row in either round (all 17 new
+# TPC-H queries first — the ones a real analyst hits — then the corpus
+# ops and remaining stragglers). Slots 36–50: keys whose implementation
+# or oracle changed in round 3 (streaming ts-unit fix, newly-added
+# oracles, recall columns), then headline re-checks. Keys not listed
+# follow in registry order.
 _CHECK_PRIORITY = [
-    # -- no round-1 CORRECTNESS row (registry order) --
-    "similarity_kmeans_ivf",
-    "multimodal_features",
-    "sessionize",
-    "text_stats",
-    "text_lang_dist",
-    "text_quality",
-    "text_token_bpe",
-    "text_fingerprint",
-    "text_lang_id",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_string_extra",
-    "scalar_trycast",
-    "scalar_map",
-    "scalar_json",
-    "array_ops",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_table",
-    "convert_sink",
-    "convert_sink_events",
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    "partitioned_sink_prune",
-    "stream_foreach_batch",
-    "stream_stateful_profile",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup",
-    # -- round-1 row is a harness error; the fix (scalar per-quantile
-    # columns) must get a fresh row even if the check budget is tight --
-    "agg_approx_percentile",
-    # -- new this round --
-    "dedup_embedding_lsh",
-    "source_merge_schema",
-    "sink_compacted",
-    "sink_range_clustered",
-    "join_bucketed",
-    "agg_salted_skew",
-    "pipeline_training_corpus",
-    "pipeline_training_corpus_full",
-    "sample_stratified",
-    "text_vocab_topk",
-    "text_length_quartiles",
-    "agg_string_agg",
-    "window_distribution",
-    "profile_columns",
-    "source_csv_permissive",
-    "stream_static_join",
-    "join_full_outer",
-    "window_first_last",
-    "sql_subquery_scalar",
+    # -- never checked in r1/r2: TPC-H suite --
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
-    "scd2_history",
-    "set_intersect_all",
-    "set_except_all",
-    "join_asof_tolerance",
-    "window_range_interval",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # -- never checked: corpus / training-data ops --
     "contamination_ngram",
     "doc_repetition",
     "quality_rollup_source",
     "text_cross_entropy",
-    "sink_dynamic_partition_overwrite",
-    "stream_stream_join",
-    "tpch_q1",
-    "tpch_q4",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
     "text_pii_redact",
     "doc_packing",
     "embedding_quantize",
-    # -- changed this round (round-1 row is stale but green) --
-    "dedup_ngram_jaccard",
-    "join_asof",
-    "text_tfidf",
+    # -- never checked: remaining relational / window / sink / stream --
+    "scd2_history",
+    "join_full_outer",
+    "join_asof_tolerance",
+    "window_first_last",
+    "window_range_interval",
+    "set_intersect_all",
+    "set_except_all",
+    "sql_subquery_scalar",
+    "sink_dynamic_partition_overwrite",
+    "stream_stream_join",
+    # -- round-3 fixes that MUST get a fresh row: the streaming ts-unit
+    # bug (red in r2) and the keys whose oracle/columns changed --
+    "stream_watermark_late",
+    "stream_foreach_batch",
+    "stream_stateful_profile",
+    "convert_sink_events",
+    "dedup_clusters",
+    "pipeline_training_corpus_full",
     "similarity_ivf",
+    "similarity_kmeans_ivf",
+    # -- impl changed in r2 after their green row (stale greens) --
+    "join_asof",
+    "dedup_ngram_jaccard",
+    "text_tfidf",
     # -- headline re-checks (fill the remaining checked slots) --
     "parquet_scan",
-    "clean_numeric",
-    "agg_groupby",
-    "join_multiway",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q18",
-    "dedup_exact",
+    "convert_sink",
     "dedup_minhash_lsh",
     "similarity_topk",
 ]

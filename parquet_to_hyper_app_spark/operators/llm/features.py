@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
-from parquet_to_hyper_app_spark.operators.llm.similarity import _N_QUERIES, bucket_topk
+from parquet_to_hyper_app_spark.operators.llm.similarity import (
+    _N_QUERIES,
+    bucket_topk,
+    with_recall_audit,
+)
 from parquet_to_hyper_app_spark.registry import query
 
 
@@ -71,9 +75,11 @@ def kmeans_index(emb: DataFrame, k: int = 16, seed: int = 42):
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S32c (rows-only): true IVF — seeded KMeans coarse quantizer,
     queries probe only their own centroid's inverted list, exact cosine
-    within the list. Scanned fraction ≈ 1/k; recall vs brute force is
-    unit-tested. At 100 TB the centroid assignment is one broadcast-
-    model map pass and lists are written bucketed by centroid_id."""
+    within the list. Scanned fraction ≈ 1/k; every output row carries
+    its query's ``recall_at_k`` vs the exact brute-force top-k
+    (audited in-query, floor asserted in tests). At 100 TB the
+    centroid assignment is one broadcast-model map pass and lists are
+    written bucketed by centroid_id."""
     emb = load_table(spark, sf_dir, "embeddings")
     _model, assigned = kmeans_index(emb)
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -82,7 +88,8 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), "centroid_id"
     )
-    return bucket_topk(cand, q, "centroid_id")
+    approx = bucket_topk(cand, q, "centroid_id")
+    return with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
 
 
 @query(

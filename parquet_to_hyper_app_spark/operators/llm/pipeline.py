@@ -9,11 +9,13 @@ Two registered variants:
 - ``pipeline_training_corpus``: the deterministic spine (quality gate,
   exact dedup, BPE-ish token counts). Fully SQL-expressible ⇒ exact
   value-hash oracle.
-- ``pipeline_training_corpus_full``: the same spine plus MinHash-LSH
-  near-dedup between dedup and tokenize. Seeded-xxhash64 LSH is not
-  SQL-expressible ⇒ rows-only check; every stage is individually
-  verified by its own query key (text_quality, dedup_exact,
-  dedup_minhash_lsh, text_token_bpe).
+- ``pipeline_training_corpus_full``: the same spine plus exact
+  word-bigram near-dedup (the lossless prefix-filter pair miner from
+  `dedup_ngram_jaccard`) between dedup and tokenize — every stage
+  SQL-expressible ⇒ the full composition is value-hash checked. The
+  MinHash-LSH miner (`verified_near_dup_pairs`) is the drop-in
+  alternative when sub-threshold shingle mining is wanted (rows-only
+  check; seeded-xxhash64 LSH is not SQL-expressible).
 
 Scale shape: the quality gate is a narrow projection fused into the
 scan; exact dedup is one shuffle on sha256(text) (uniform, skew-free);
@@ -31,8 +33,9 @@ from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.operators.llm.dedup import (
+    NGRAM_PAIRS_ORACLE_TMPL,
     dedup_exact_df,
-    verified_near_dup_pairs,
+    ngram_jaccard_pairs,
 )
 from parquet_to_hyper_app_spark.operators.llm.text import (
     QUALITY_MAX_CHARS,
@@ -128,15 +131,45 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
-@query("pipeline_training_corpus_full")
+@query(
+    "pipeline_training_corpus_full",
+    oracle=rf"""
+    WITH __survivors AS (
+        SELECT doc_id, lang, source, text
+        FROM (
+            SELECT doc_id, lang, source, text,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents
+            WHERE length(text) BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS}
+              AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / length(text) < {QUALITY_MAX_DIGIT_RATIO}
+        ) WHERE rn = 1
+    ),
+    __pairs AS ({NGRAM_PAIRS_ORACLE_TMPL.format(src="__survivors")}),
+    __drops AS (SELECT DISTINCT doc_b AS doc_id FROM __pairs)
+    SELECT doc_id, lang, source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM __survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
+    """,
+)
 def pipeline_training_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline (rows-only): the deterministic spine plus
-    MinHash-LSH near-dedup (Jaccard ≥ 0.5 on word 3-gram shingles,
-    survivor = smaller doc_id) between exact dedup and tokenize."""
+    """Full pipeline: the deterministic spine plus EXACT word-bigram
+    near-dedup (Jaccard ≥ 0.5, survivor = smaller doc_id of each pair)
+    between exact dedup and tokenize.
+
+    Every stage is SQL-expressible (the near-dup stage's prefix filter
+    is lossless — proven by `dedup_ngram_jaccard`'s exhaustive-join
+    oracle), so the whole composition is value-hash checked. On a
+    corpus where sub-threshold shingle mining is preferred, swap
+    `ngram_jaccard_pairs` for `verified_near_dup_pairs` (MinHash-LSH,
+    rows-only check) — same pair schema, same drop rule."""
     docs = load_table(spark, sf_dir, "documents")
     survivors = dedup_exact_df(quality_gate(docs)).drop("content_hash")
     near_dups = (
-        verified_near_dup_pairs(survivors)
+        ngram_jaccard_pairs(survivors)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -140,6 +140,32 @@ def bucket_topk(cand: DataFrame, q: DataFrame, bucket_col: str, k: int = _TOP_K)
     )
 
 
+def with_recall_audit(
+    approx: DataFrame, emb: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """Attach per-query ``recall_at_k`` (|approx ∩ exact| / k vs the
+    brute-force top-k) to an approximate search result.
+
+    The audit pins the ANN path's quality NUMERICALLY in every run —
+    a rows-only driver check still records the recall values in the
+    hashed frame, and tests assert the floor. Cost: one extra exact
+    pass over the candidates for the (always small) query set — the
+    same O(|queries|·n) the exactness baseline costs, so the audit is
+    affordable wherever the baseline itself is; on a 100 TB serving
+    index, run it on a sampled query panel instead of every request.
+    """
+    exact = brute_force_topk(emb, queries, k).select("q_id", "neighbor_id")
+    hits = approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
+    recall = hits.groupBy("q_id").agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k")
+    )
+    return (
+        approx.join(recall, "q_id", "left")
+        .fillna({"recall_at_k": 0.0})
+        .select("q_id", "neighbor_id", "cos_sim", "rank", "recall_at_k")
+    )
+
+
 def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id of a double-array column against fixed planes."""
     bucket = F.lit(0)
@@ -155,8 +181,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S32b (rows-only): approximate top-k — 4-bit random-hyperplane
     LSH coarse quantizer, search restricted to the query's bucket
     (≈1/16 of candidates scanned). Approximate by construction, so no
-    SQL oracle; recall vs brute force is unit-tested ≥ 0.5 and the
-    bucketing is deterministic (seeded planes)."""
+    SQL oracle; instead every output row carries its query's
+    ``recall_at_k`` vs the exact brute-force top-k (audited in-query,
+    floor asserted in tests), and the bucketing is deterministic
+    (seeded planes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bits = 4
     planes = _hyperplanes(embedding_dim_for(spark, sf_dir), bits=bits)
@@ -176,4 +204,5 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = v.select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("bucket")
     )
-    return bucket_topk(cand, q, "bucket")
+    approx = bucket_topk(cand, q, "bucket")
+    return with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))

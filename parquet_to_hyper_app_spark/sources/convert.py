@@ -256,14 +256,28 @@ def convert_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert(spark, os.path.join(sf_dir, "lineitem.parquet"), sink)
 
 
-@query("convert_sink_events")
+@query(
+    "convert_sink_events",
+    oracle="""
+    SELECT
+        coalesce(event_id, 0) AS event_id,
+        ts,
+        coalesce(user_id, 0) AS user_id,
+        event_type,
+        CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+             THEN 0 ELSE value END AS value,
+        props
+    FROM events
+    """,
+)
 def convert_sink_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4b (rows-only): convert the ns-timestamp `events` source end-to-end.
+    """S4b: convert the timestamp-bearing `events` source end-to-end.
 
-    No oracle: the sink round-trip of the µs-truncated ts is already
-    value-checked by `parquet_scan_events`; this key exercises the
-    write path on a second schema (JSON strings, doubles with the
-    clean rule applied).
+    The oracle is the clean+widen projection of the source (the clean
+    rule is the identity on this data, stated explicitly so the check
+    stays exact if the generator ever emits nulls/NaNs): the parquet
+    sink round-trip must be value-preserving on a second schema (JSON
+    strings, timestamps, doubles).
     """
     _ = load_table(spark, sf_dir, "events")  # ensures session confs
     sink = os.path.join(tempfile.gettempdir(), "parquet_to_hyper_app_spark_sink", "events")

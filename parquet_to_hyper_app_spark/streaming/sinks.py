@@ -17,10 +17,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_to_hyper_app_spark.catalog import EVENTS_TS_EXPR
 from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric
 from parquet_to_hyper_app_spark.registry import query
 from parquet_to_hyper_app_spark.streaming.source import events_file_stream
+
+#: the sink persists the stream's source-normalized int64-µs ts; the
+#: re-read restores the oracle-comparable naive timestamp (no division
+#: — the unit conversion happened once in events_file_stream)
+_SINK_TS_EXPR = "CAST(timestamp_micros(ts) AS TIMESTAMP_NTZ)"
 
 
 @query("stream_foreach_batch", oracle="SELECT * FROM events")
@@ -57,6 +61,6 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not _glob.glob(os.path.join(out_dir, "epoch_*")):
         empty = clean_numeric(spark.createDataFrame([], raw.schema))
-        return empty.withColumn("ts", F.expr(EVENTS_TS_EXPR))
+        return empty.withColumn("ts", F.expr(_SINK_TS_EXPR))
     out = spark.read.parquet(os.path.join(out_dir, "epoch_*"))
-    return out.withColumn("ts", F.expr(EVENTS_TS_EXPR))
+    return out.withColumn("ts", F.expr(_SINK_TS_EXPR))

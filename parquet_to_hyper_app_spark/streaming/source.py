@@ -1,10 +1,23 @@
 """Shared file-stream source plumbing for the events table.
 
-One place owns: the raw on-disk schema of events.parquet (int64-nanos
-ts under nanosAsLong), the symlinked source directory (the file stream
-source requires a directory), and the per-query checkpoint location.
-Every streaming query builds on this — a schema or convention change
-happens here once.
+One place owns: the raw on-disk schema of events.parquet, the
+NORMALIZATION of its int64 ``ts`` column to microseconds, the symlinked
+source directory (the file stream source requires a directory), and
+the per-query checkpoint location. Every streaming query builds on
+this — a schema or convention change happens here once.
+
+Why normalization lives HERE and nowhere else: the unit the parquet
+reader hands back for an int64-typed ``ts`` depends on the file's
+physical timestamp annotation and the read path — an inferred batch
+read under ``nanosAsLong`` yields raw nanos, while a user-schema
+``ts bigint`` read (the only form ``readStream`` supports) converts
+TIMESTAMP(MICROS) data to micros as-is. Round 2 shipped the ns→µs
+``div 1000`` in four downstream queries on top of an already-µs
+stream, shifting every streamed timestamp 1000× into 1970
+(CORRECTNESS_r02: stream_watermark_late 0/3380 rows). The stream
+source now detects the on-disk unit once per directory (magnitude
+probe on one row — epoch-2000+ data differs by 10^3 per unit, so the
+bands are unambiguous) and every caller receives int64 MICROS.
 """
 
 from __future__ import annotations
@@ -13,24 +26,56 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.session import ensure_session_configs
 
-#: raw file schema: ts is int64 nanoseconds (see catalog.EVENTS_TS_EXPR)
+#: user-supplied stream schema: ts read as raw int64 (unit detected below)
 RAW_EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint,"
     " event_type string, value double, props string"
 )
 
+#: per-source-path cache of the detected (divisor, multiplier) to µs
+_TS_SCALE_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _ts_micros_scale(spark: SparkSession, src_dir: str) -> tuple[int, int]:
+    """Detect the int64 unit of ``ts`` as read through RAW_EVENTS_SCHEMA.
+
+    Returns ``(div, mul)`` with exactly one ≠ 1 such that
+    ``µs = ts div div * mul``. Detection: a one-row batch read through
+    the SAME user schema the stream uses (identical parquet datasource
+    → identical unit), classified by magnitude — for any event time
+    between 1971 and ~2200, nanos sit above 3e16, micros above 3e13,
+    millis above 3e10, else seconds. Batch and stream cannot disagree
+    because both are the V1 parquet source with an explicit user
+    schema.
+    """
+    if src_dir not in _TS_SCALE_CACHE:
+        row = spark.read.schema(RAW_EVENTS_SCHEMA).parquet(src_dir).select("ts").first()
+        ts = abs(row[0]) if row and row[0] is not None else 0
+        if ts > 3 * 10**16:
+            scale = (1_000, 1)  # nanoseconds
+        elif ts > 3 * 10**13:
+            scale = (1, 1)  # microseconds
+        elif ts > 3 * 10**10:
+            scale = (1, 1_000)  # milliseconds
+        else:
+            scale = (1, 1_000_000)  # seconds
+        _TS_SCALE_CACHE[src_dir] = scale
+    return _TS_SCALE_CACHE[src_dir]
+
 
 def events_file_stream(
     spark: SparkSession, sf_dir: str, qname: str
 ) -> tuple[DataFrame, str]:
-    """Raw events file stream (+ checkpoint path) for query `qname`.
+    """Events file stream (+ checkpoint path) for query `qname`.
 
-    The returned DataFrame has the RAW schema — ts as int64 nanos;
-    callers convert with catalog.EVENTS_TS_EXPR (or timestamp_micros
-    for the tz-aware watermark form).
+    The returned DataFrame has RAW_EVENTS_SCHEMA with ``ts`` already
+    normalized to int64 MICROSECONDS regardless of the on-disk unit —
+    callers build event time with ``timestamp_micros(ts)`` and must
+    NOT apply any further unit conversion.
     """
     ensure_session_configs(spark)
     base = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
@@ -43,6 +88,9 @@ def events_file_stream(
         # against /tmp (dangling) while batch reads still worked
         os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
+    div, mul = _ts_micros_scale(spark, src_dir)
+    if (div, mul) != (1, 1):
+        stream = stream.withColumn("ts", F.expr(f"ts div {div} * {mul}"))
     return stream, ckpt
 
 

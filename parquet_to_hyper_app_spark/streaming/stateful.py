@@ -81,7 +81,7 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"state_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = (
-        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_profile,

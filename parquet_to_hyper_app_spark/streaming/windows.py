@@ -151,9 +151,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     stream = (
         raw
-        # ns → µs truncation, then TIMESTAMP (watermarks need the
+        # source-normalized µs → TIMESTAMP (watermarks need the
         # tz-aware type; session tz is UTC so instants == wall clock)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.expr("timestamp_micros(ts)"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -249,7 +249,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     qname = f"ssx_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
-    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts)"))
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(

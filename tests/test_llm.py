@@ -88,11 +88,19 @@ def test_ivf_recall_vs_brute_force(spark):
     exact = {
         (r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()
     }
-    approx = {(r.q_id, r.neighbor_id) for r in similarity_ivf(spark, SF_SMOKE).collect()}
+    rows = similarity_ivf(spark, SF_SMOKE).collect()
+    approx = {(r.q_id, r.neighbor_id) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall  # 4-bit quantizer + multiprobe scans ~5/16
     # every approx neighbor must share the query's bucket -> subset sanity
     assert len(approx) <= len(exact)
+    # the in-query recall audit column must agree with the recall
+    # computed here from first principles, per query
+    for r in rows:
+        q_hits = len({n for (q, n) in exact if q == r.q_id} & {
+            n for (q, n) in approx if q == r.q_id
+        })
+        assert r.recall_at_k == pytest.approx(q_hits / 3), r
 
 
 def test_multimodal_plumbing(spark, planted_docs):
@@ -130,13 +138,18 @@ def test_kmeans_ivf_recall(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {(r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=3).collect()}
-    approx = {
-        (r.q_id, r.neighbor_id) for r in similarity_kmeans_ivf(spark, SF_SMOKE).collect()
-    }
+    rows = similarity_kmeans_ivf(spark, SF_SMOKE).collect()
+    approx = {(r.q_id, r.neighbor_id) for r in rows}
     # scans ~1/16 of candidates; random-ish embeddings bound recall low,
     # but the index must return plausible neighbors for every query
     assert len({q for q, _ in approx}) == 10
     assert len(exact & approx) / len(exact) >= 0.1
+    # audit column sanity: within [0,1] and mean consistent with the
+    # globally computed recall (same pair sets, same k)
+    per_q = {r.q_id: r.recall_at_k for r in rows}
+    assert all(0.0 <= v <= 1.0 for v in per_q.values())
+    mean_audit = sum(per_q.values()) / len(per_q)
+    assert mean_audit == pytest.approx(len(exact & approx) / len(exact))
 
 
 def test_tfidf_shapes(spark):

@@ -19,8 +19,19 @@ from tests.conftest import SF_SMOKE
 BNLJ_ALLOWED = {
     "similarity_topk",
     "dedup_embedding",
+    # the ANN paths embed similarity_topk's broadcast-query exact pass
+    # as their recall_at_k audit — same tiny-broadcast-side pattern
+    "similarity_ivf",
+    "similarity_kmeans_ivf",
     "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
     "text_cross_entropy",  # 1-row corpus-total broadcast onto the vocab table
+    # Q11/Q22 attach a 1-row global aggregate (value threshold / avg
+    # balance) to every group row: crossJoin(broadcast(1-row)) is the
+    # canonical Spark shape for a scalar subquery — the "nested loop"
+    # probes a single broadcast row, O(n) with no shuffle, safe at any
+    # scale. Rewriting as a join would add a shuffle for nothing.
+    "tpch_q11",
+    "tpch_q22",
 }
 #: side-effecting / streaming queries excluded from pure-plan checks
 SKIP = {"stream_watermark_late", "convert_sink", "convert_sink_events"}

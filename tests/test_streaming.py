@@ -69,3 +69,23 @@ def test_tumbling_counts_sum_to_total(spark):
     out = stream_tumbling(spark, SF_SMOKE)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_ts_unit_matches_batch_catalog(spark):
+    """Pin the round-2 regression: the file-stream source must deliver
+    event timestamps in the SAME unit the batch catalog resolves to —
+    streamed min/max(ts) (µs → timestamp) must equal batch min/max(ts)
+    exactly, whatever physical unit the parquet file stores."""
+    from parquet_to_hyper_app_spark.streaming.source import events_file_stream, run_to_memory
+
+    import uuid
+
+    qname = f"ts_unit_{uuid.uuid4().hex[:8]}"  # fresh checkpoint per run
+    raw, ckpt = events_file_stream(spark, SF_SMOKE, qname)
+    stream = raw.select(F.expr("timestamp_micros(ts)").cast("timestamp_ntz").alias("ts"))
+    out = run_to_memory(stream, qname, ckpt, "append")
+    s_min, s_max = out.agg(F.min("ts"), F.max("ts")).first()
+    b_min, b_max = (
+        load_table(spark, SF_SMOKE, "events").agg(F.min("ts"), F.max("ts")).first()
+    )
+    assert (s_min, s_max) == (b_min, b_max), (s_min, s_max, b_min, b_max)
