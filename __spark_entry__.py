@@ -115,11 +115,12 @@ _CHECK_PRIORITY = [
     "join_asof",
     "dedup_ngram_jaccard",
     "text_tfidf",
-    # -- headline re-checks (fill the remaining checked slots) --
+    # -- round-3 oracle/schema additions --
+    "text_lang_id",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # -- headline re-check (fills slot 50) --
     "parquet_scan",
-    "convert_sink",
-    "dedup_minhash_lsh",
-    "similarity_topk",
 ]
 
 

@@ -183,15 +183,52 @@ _LANG_MARKERS = {
 }
 
 
-@query("text_lang_id")
+def _lang_id_oracle() -> str:
+    """DuckDB SQL reproducing the marker heuristic exactly: same
+    marker lists (one source of truth: _LANG_MARKERS), same
+    count/greatest(len,1) score, same argmax with first-dict-key
+    tie-break, same 0.01 'und' floor, same 6-decimal rounding."""
+    score_cols = ",\n               ".join(
+        f"CAST(len(list_filter(tk, t -> list_contains("
+        f"[{', '.join(repr(w) for w in words)}], t))) AS DOUBLE)"
+        f" / greatest(len(tk), 1) AS s_{lang}"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + la for la in langs)})"
+    # CASE evaluates in declaration order — identical to the Spark
+    # fold's first-key-wins tie policy
+    case = " ".join(f"WHEN s_{la} = __best THEN '{la}'" for la in langs)
+    return f"""
+    WITH __toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    __scored AS (
+        SELECT doc_id, lang,
+               {score_cols}
+        FROM __toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN __best < 0.01 THEN 'und' {case} ELSE 'und' END
+               AS predicted_lang,
+           round(__best, 6) AS score
+    FROM (SELECT *, {best} AS __best FROM __scored)
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S33f (rows-only): marker-word language ID — score = fraction of
-    tokens in each language's stopword list, argmax wins, 'und'
-    (undetermined) below a confidence floor. A toy heuristic (real
-    pipelines use fastText/CLD3 — those models aren't in this
-    container), but the *distributed shape* is the real one: pure
-    column expressions, no shuffle. Weak check: the argmax/tie policy
-    is engine-specific; determinism + agreement stats are unit-tested.
+    """S33f: marker-word language ID — score = fraction of tokens in
+    each language's stopword list, argmax wins (first marker-table key
+    on ties), 'und' (undetermined) below a 0.01 confidence floor. A
+    toy heuristic (real pipelines use fastText/CLD3 — those models
+    aren't in this container), but the *distributed shape* is the real
+    one: pure column expressions, no shuffle — and because every step
+    is deterministic arithmetic, the whole classifier is value-hash
+    checked against the SQL oracle built from the same marker table.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))

@@ -384,13 +384,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No oracle by design — the estimate is algorithm-specific; DuckDB's
     approx_count_distinct uses a different sketch and need not match.
-    The exact-vs-approx error bound is unit-tested instead
-    (tests/test_relational.py::test_approx_distinct_error).
+    Instead every row carries its own audit: the EXACT distinct count
+    (computed in the same single aggregation — Spark plans both as one
+    Expand + partial/final agg pass) and the signed relative error, so
+    the rows-only driver check still records the sketch quality
+    numerically; the 2% rsd bound is asserted in tests.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn(
+        "rel_error",
+        F.round(
+            (F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts").cast("double"),
+            6,
+        ),
     )
 
 

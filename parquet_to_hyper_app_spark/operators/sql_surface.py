@@ -145,22 +145,36 @@ def sql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17b (rows-only): approximate percentiles via the KLL/GK-style
     sketch (`percentile_approx`). Sketch outputs are engine-specific so
-    no oracle; accuracy vs the exact interpolated percentile is
-    unit-tested (tests/test_relational.py).
+    no oracle; instead each row carries its own audit — the EXACT
+    discrete percentiles (same single aggregation pass) and the
+    relative errors — so the rows-only driver check records sketch
+    quality numerically; the accuracy floor is asserted in tests.
 
     One scalar column per quantile (not an array column): the sketch is
     computed once per group and `element_at` splits it — and the
-    driver's canonicalizer requires hashable (scalar) cells.
+    driver's canonicalizer requires hashable (scalar) cells. The exact
+    reference is `percentile_approx` at accuracy = INT_MAX, which
+    degenerates to the exact nearest-rank percentile in the same value
+    space the sketch draws from (Spark's exact `percentile` would
+    interpolate between data points — not comparable to a sketch that
+    returns actual data values).
     """
     v = _view(spark, sf_dir, "lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag,
                element_at(sketch, 1) AS approx_p50,
-               element_at(sketch, 2) AS approx_p90
+               element_at(sketch, 2) AS approx_p90,
+               element_at(exact, 1)  AS exact_p50,
+               element_at(exact, 2)  AS exact_p90,
+               round((element_at(sketch, 1) - element_at(exact, 1))
+                     / element_at(exact, 1), 6) AS rel_err_p50,
+               round((element_at(sketch, 2) - element_at(exact, 2))
+                     / element_at(exact, 2), 6) AS rel_err_p90
         FROM (
             SELECT l_returnflag,
-                   percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS sketch
+                   percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS sketch,
+                   percentile_approx(l_extendedprice, array(0.5, 0.9), 2147483647) AS exact
             FROM {v} GROUP BY l_returnflag
         )
         """

@@ -13,8 +13,11 @@ from tests.conftest import SF_SMOKE
 
 
 def test_approx_distinct_error(spark):
-    """HLL++ estimate at rsd=0.02 should be within 5% of exact."""
-    approx = {r.l_returnflag: r.approx_parts for r in agg_approx_distinct(spark, SF_SMOKE).collect()}
+    """HLL++ estimate at rsd=0.02 should be within 5% of exact, and the
+    in-query audit columns (exact_parts, rel_error) must agree with an
+    independently computed exact count."""
+    rows = agg_approx_distinct(spark, SF_SMOKE).collect()
+    approx = {r.l_returnflag: r.approx_parts for r in rows}
     li = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
         r.l_returnflag: r.d
@@ -22,6 +25,21 @@ def test_approx_distinct_error(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
+    for r in rows:
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert abs(r.rel_error - (r.approx_parts - r.exact_parts) / r.exact_parts) < 1e-6
+
+
+def test_approx_percentile_audit(spark):
+    """The percentile sketch's in-query audit: exact_p* come from the
+    degenerate exact sketch, rel_err within the 1/accuracy bound."""
+    from parquet_to_hyper_app_spark.operators.sql_surface import agg_approx_percentile
+
+    for r in agg_approx_percentile(spark, SF_SMOKE).collect():
+        assert abs(r.rel_err_p50) <= 0.05, r
+        assert abs(r.rel_err_p90) <= 0.05, r
+        # the exact columns must be actual data values of the group
+        assert r.exact_p50 <= r.exact_p90
 
 
 def test_range_join_matches_naive(spark):
