@@ -119,8 +119,13 @@ _CHECK_PRIORITY = [
     "text_lang_id",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # -- headline re-check (fills slot 50) --
-    "parquet_scan",
+    # -- new round-3 operators (first two fit the 50-slot budget; the
+    # other three analytics keys land right after and lead round 4) --
+    "events_funnel",
+    "retention_cohorts",
+    "agg_histogram",
+    "agg_median_mode",
+    "text_ngram_lm",
 ]
 
 

@@ -1,0 +1,355 @@
+"""Product-analytics operators over the events/documents tables.
+
+The reference is a one-shot converter; an analytics engine that
+replaces it must also answer the questions people convert files FOR.
+This module adds the canonical event-analytics surface — ordered
+funnels, cohort retention, value histograms, exact median/mode, and a
+count-based n-gram language model — each as a declarative plan with a
+DuckDB value-hash oracle.
+
+Scale notes: every operator here is one or two hash shuffles on a
+uniform key (user_id / group key / bigram), no self-joins, no
+driver-side loops; the histogram's global-bounds lookup is the usual
+1-row broadcast. All safe at 100 TB by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.registry import query
+
+#: ordered funnel stages over the events stream
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS ts_view
+        FROM events GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, t1.ts_view, min(e.ts) AS ts_click
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts_view
+        GROUP BY e.user_id, t1.ts_view
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(1 AS INT) AS stage_idx,
+           count(*) AS n_users FROM t1 WHERE ts_view IS NOT NULL
+    UNION ALL
+    SELECT 'click', CAST(2 AS INT), count(*) FROM t2
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS INT), count(*) FROM t3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first
+    qualifying click. The ORDERED variant (not mere set intersection):
+    each stage's timestamp must follow the previous stage's.
+
+    Plan: ONE shuffle on user_id serves every stage — the per-user
+    stage timestamps are conditional window minima computed in two
+    chained projections over the same partitioning (t1 feeds the
+    t2 condition, t2 feeds t3), then a single per-user row is counted
+    per stage. No self-joins: at 100 TB this is a map + one exchange +
+    window, versus the naive 3-way self-join of the events table.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == _FUNNEL[0], F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("ts_view", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[1]) & (F.col("ts") > F.col("ts_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("ts_click", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == _FUNNEL[2]) & (F.col("ts") > F.col("ts_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("ts_purchase", t3)
+        .groupBy("user_id")
+        .agg(
+            F.first("ts_view").alias("ts_view"),
+            F.first("ts_click").alias("ts_click"),
+            F.first("ts_purchase").alias("ts_purchase"),
+        )
+    )
+    stages = F.array(
+        F.struct(F.lit("view").alias("stage"), F.lit(1).alias("stage_idx"),
+                 F.col("ts_view").isNotNull().alias("hit")),
+        F.struct(F.lit("click").alias("stage"), F.lit(2).alias("stage_idx"),
+                 F.col("ts_click").isNotNull().alias("hit")),
+        F.struct(F.lit("purchase").alias("stage"), F.lit(3).alias("stage_idx"),
+                 F.col("ts_purchase").isNotNull().alias("hit")),
+    )
+    return (
+        per_user.select(F.explode(stages).alias("s"))
+        .filter(F.col("s.hit"))
+        .groupBy(F.col("s.stage").alias("stage"), F.col("s.stage_idx").alias("stage_idx"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week of their
+    first event; for each later week-offset, how many of that cohort
+    were active. The standard growth-analytics triangle.
+
+    Plan: one shuffle on user_id (window min for the cohort week — no
+    join back), a distinct on (user, cohort, offset), and the final
+    count. date_trunc('week') is Monday-aligned in both engines, and
+    the offset is computed as whole truncated-week difference so both
+    engines bucket identically.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w)).cast("timestamp_ntz")
+    act_week = F.date_trunc("week", F.col("ts")).cast("timestamp_ntz")
+    # both ends are Monday-truncated, so the day difference is an exact
+    # multiple of 7 — integer division is engine-agnostic
+    offset = (F.datediff(act_week, cohort) / 7).cast("long").alias("week_offset")
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            offset,
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+_HIST_BUCKETS = 20
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    bucketed AS (
+        SELECT least(CAST(floor((l_extendedprice - lo) / (hi - lo)
+                                * {_HIST_BUCKETS}) AS BIGINT),
+                     {_HIST_BUCKETS - 1}) AS bucket,
+               lo, hi
+        FROM lineitem, bounds
+    )
+    SELECT bucket,
+           round(lo + bucket * (hi - lo) / {_HIST_BUCKETS}, 4) AS bucket_lo,
+           round(lo + (bucket + 1) * (hi - lo) / {_HIST_BUCKETS}, 4) AS bucket_hi,
+           count(*) AS n
+    FROM bucketed GROUP BY bucket, lo, hi
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of l_extendedprice in 20 buckets
+    between the observed global min/max (top value folded into the
+    last bucket).
+
+    Plan: the global bounds are a 1-row aggregate broadcast onto the
+    scan (the allowlisted tiny-BNLJ pattern), bucketing is a pure
+    projection, and the count is one partial+final agg — two scans of
+    the column, zero wide joins. The same shape Spark's own
+    `histogram_numeric` sketch avoids — but this one is exact and
+    engine-reproducible, which is what the oracle check needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    b = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * _HIST_BUCKETS
+        ).cast("long"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    # edge arithmetic associates exactly as the oracle's
+    # `lo + bucket * (hi - lo) / N` — same IEEE op order, same bits
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(b.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / _HIST_BUCKETS, 4
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("lo")
+                + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / _HIST_BUCKETS,
+                4,
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH modes AS (
+        SELECT l_returnflag, l_quantity AS mode_qty
+        FROM (
+            SELECT l_returnflag, l_quantity,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY count(*) DESC, l_quantity) AS rn
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ) WHERE rn = 1
+    )
+    SELECT m.l_returnflag,
+           round(q.median_price, 4) AS median_price,
+           m.mode_qty
+    FROM (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    ) q JOIN modes m ON q.l_returnflag = m.l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median of l_extendedprice and deterministic
+    mode of l_quantity (most frequent value, smallest wins ties) per
+    return flag.
+
+    Plan: the median is Spark's exact `percentile` (sort-based within
+    group — one shuffle on the 3-value flag key; at 100 TB you'd salt
+    or pre-bucket a hotter key, here the group count is tiny and AQE
+    splits skew). The mode avoids Spark's non-deterministic `mode()`:
+    a (flag, value) count plus a row_number tie-broken on the value is
+    reproducible in any engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("c").desc(), F.col("l_quantity"))
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(modes, "l_returnflag")
+
+
+_LM_TOP_K = 30
+
+
+@query(
+    "text_ngram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS bg
+        FROM toks WHERE len(tk) >= 2
+    ),
+    pair_counts AS (
+        SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c_pair
+        FROM bigrams GROUP BY bg.w1, bg.w2
+    ),
+    ctx_counts AS (
+        SELECT w1, sum(c_pair) AS c_ctx FROM pair_counts GROUP BY w1
+    )
+    SELECT w1, w2, c_pair,
+           round(CAST(c_pair AS DOUBLE) / c_ctx, 6) AS cond_prob,
+           rank
+    FROM (
+        SELECT p.w1, p.w2, p.c_pair, x.c_ctx,
+               CAST(row_number() OVER (ORDER BY p.c_pair DESC, p.w1, p.w2)
+                    AS BIGINT) AS rank
+        FROM pair_counts p JOIN ctx_counts x ON p.w1 = x.w1
+    ) WHERE rank <= {_LM_TOP_K}
+    """,
+)
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: the corpus's top-30 bigrams
+    with their conditional probability P(w2 | w1) = c(w1,w2) / c(w1,·)
+    — the classic smoothing-free n-gram LM table, and the shape of
+    every corpus-statistics job (contamination scoring, perplexity
+    filtering) that follows.
+
+    Plan: tokenized bigram explode (narrow) → (w1,w2) count shuffle →
+    context totals derived FROM the pair counts (re-aggregating the
+    small pair table on w1 — never a second pass over the corpus) →
+    top-k via one TakeOrderedAndProject. Token-frequency skew lands on
+    the pair-count shuffle where partial aggregation absorbs it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    pairs = (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    w = W.orderBy(F.col("c_pair").desc(), "w1", "w2")
+    return (
+        pairs.join(ctx, "w1")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _LM_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            F.round(F.col("c_pair").cast("double") / F.col("c_ctx"), 6).alias("cond_prob"),
+            "rank",
+        )
+    )

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (each registers its queries)."""
     # Imports are inside the function so `import registry` stays cheap
     # and circular imports (modules import `query` from here) resolve.
+    from parquet_to_hyper_app_spark.operators import analytics  # noqa: F401
     from parquet_to_hyper_app_spark.operators import bucketed  # noqa: F401
     from parquet_to_hyper_app_spark.operators import cleaning  # noqa: F401
     from parquet_to_hyper_app_spark.operators import relational  # noqa: F401

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "similarity_kmeans_ivf",
     "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
     "text_cross_entropy",  # 1-row corpus-total broadcast onto the vocab table
+    "agg_histogram",  # 1-row global min/max broadcast onto the scan
     # Q11/Q22 attach a 1-row global aggregate (value threshold / avg
     # balance) to every group row: crossJoin(broadcast(1-row)) is the
     # canonical Spark shape for a scalar subquery — the "nested loop"
