@@ -126,6 +126,8 @@ _CHECK_PRIORITY = [
     "agg_histogram",
     "agg_median_mode",
     "text_ngram_lm",
+    "stream_incremental_agg",
+    "stream_dedup_watermark",
 ]
 
 

@@ -64,3 +64,123 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return empty.withColumn("ts", F.expr(_SINK_TS_EXPR))
     out = spark.read.parquet(os.path.join(out_dir, "epoch_*"))
     return out.withColumn("ts", F.expr(_SINK_TS_EXPR))
+
+
+@query(
+    "stream_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate table via foreachBatch — the
+    lakehouse MERGE pattern: each micro-batch's partial aggregate folds
+    into a persistent running table instead of recomputing the full
+    GROUP BY, so a continuously-arriving 100 TB stream maintains a
+    small always-fresh rollup with per-batch work proportional to the
+    BATCH, not the history.
+
+    Mechanics: per epoch, aggregate the batch (count + integer-cents
+    sum — order-independent), union with the previous snapshot,
+    re-aggregate the (tiny, one row per group) union, and write a NEW
+    snapshot directory keyed by epoch id — an idempotent
+    read-merge-write, the file-based equivalent of MERGE INTO (on a
+    lakehouse table the union+rewrite becomes the engine's MERGE). A
+    replayed epoch overwrites its own snapshot, and the final result
+    is the LAST snapshot, so retries cannot double-count. The final
+    table equals the batch GROUP BY — the oracle.
+    """
+    qname = f"ia_{uuid.uuid4().hex[:8]}"
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    out_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_ia", qname)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        import glob as _g
+
+        prior = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(prior[-1])
+            part = (
+                part.unionByName(prev)
+                .groupBy("event_type")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+            )
+        # snapshot keyed by epoch: a replayed batch overwrites itself
+        part.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"snap_{epoch_id:012d}")
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import glob as _g
+
+    snaps = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
+    if not snaps:
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
+    final = spark.read.parquet(snaps[-1])
+    return final.select(
+        "event_type",
+        "n_events",
+        (F.col("cents") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, min(ts) AS first_seen
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key in the state store only until the watermark passes its
+    event time + the dedup horizon, instead of forever — the form that
+    actually survives an unbounded 100 TB stream (plain dropDuplicates
+    state grows with distinct keys for the stream's lifetime).
+
+    The emitted row per key is the FIRST one the stream processes;
+    to make that engine-comparable the query projects the key plus the
+    per-key minimum event time computed batch-side on the sink — with
+    availableNow's single batch every key dedups exactly once, so the
+    emitted key set equals DISTINCT and first_seen equals min(ts).
+    """
+    qname = f"ddw_{uuid.uuid4().hex[:8]}"
+    raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    stream = (
+        raw.select(
+            "user_id",
+            "event_type",
+            F.expr("timestamp_micros(ts)").alias("ts"),
+        )
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    from parquet_to_hyper_app_spark.streaming.source import run_to_memory
+
+    out = run_to_memory(stream, qname, ckpt, "append")
+    # the retained row per key is arrival-order-dependent; the stable,
+    # engine-comparable projection is the key + its min event time
+    from parquet_to_hyper_app_spark.catalog import load_table
+
+    mins = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    keys = out.select("user_id", "event_type")
+    return keys.join(mins, ["user_id", "event_type"])
