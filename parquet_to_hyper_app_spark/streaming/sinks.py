@@ -96,14 +96,24 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"ia_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     out_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_ia", qname)
+    return run_incremental_agg(spark, raw, ckpt, out_dir)
+
+
+def run_incremental_agg(
+    spark: SparkSession, raw: DataFrame, ckpt: str, out_dir: str
+) -> DataFrame:
+    """Drive the incremental rollup over any events-schema stream and
+    return the final snapshot (see `stream_incremental_agg`). Separated
+    from the registry query so tests can feed a multi-file source with
+    maxFilesPerTrigger=1 and prove the per-epoch merge is genuinely
+    incremental (>1 snapshot, same final table)."""
+    import glob as _g
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
-        import glob as _g
-
         prior = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
         if prior:
             prev = batch_df.sparkSession.read.parquet(prior[-1])
@@ -124,8 +134,6 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    import glob as _g
-
     snaps = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
     if not snaps:
         return spark.createDataFrame(

@@ -71,6 +71,49 @@ def test_tumbling_counts_sum_to_total(spark):
     assert total == load_table(spark, SF_SMOKE, "events").count()
 
 
+def test_incremental_agg_is_truly_incremental(spark, tmp_path):
+    """Split the events table into 3 files, stream with
+    maxFilesPerTrigger=1 (3 micro-batches), and assert (a) one snapshot
+    per epoch — the merge really ran incrementally — and (b) the final
+    snapshot equals the batch GROUP BY exactly (cents-exact sums)."""
+    import glob
+    import os
+
+    from parquet_to_hyper_app_spark.streaming.sinks import run_incremental_agg
+    from parquet_to_hyper_app_spark.streaming.source import RAW_EVENTS_SCHEMA
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    # 3 files via repartition; written with a raw int64-µs ts so the
+    # source schema matches events_file_stream's contract
+    ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "snaps")
+    got = run_incremental_agg(spark, stream, str(tmp_path / "ckpt"), out_dir)
+    n_snaps = len(glob.glob(os.path.join(out_dir, "snap_*")))
+    assert n_snaps >= 3, f"expected >=3 epochs, got {n_snaps}"
+    from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
+
+    want = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(dec2("value")).alias("total_value"),
+    )
+    g = {r.event_type: (r.n_events, r.total_value) for r in got.collect()}
+    w = {r.event_type: (r.n_events, r.total_value) for r in want.collect()}
+    assert g == w
+
+
 def test_stream_ts_unit_matches_batch_catalog(spark):
     """Pin the round-2 regression: the file-stream source must deliver
     event timestamps in the SAME unit the batch catalog resolves to —
