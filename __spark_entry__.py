@@ -128,6 +128,8 @@ _CHECK_PRIORITY = [
     "text_ngram_lm",
     "stream_incremental_agg",
     "stream_dedup_watermark",
+    "events_anomaly_zscore",
+    "text_vocab_coverage",
 ]
 
 

@@ -274,6 +274,47 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(modes, "l_returnflag")
 
 
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, hour_start, n,
+           round((n - avg(n) OVER (PARTITION BY event_type))
+                 / nullif(stddev_samp(n) OVER (PARTITION BY event_type), 0),
+                 4) AS zscore
+    FROM hourly
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly score: each (event_type, hour) bucket's
+    count standardized against that type's own hourly mean/stddev —
+    the first-line monitoring query over any event firehose (|z| > 3
+    is the classic page threshold; the threshold is left to the
+    consumer, the score is the operator).
+
+    Plan: one partial+final agg to hourly counts (events collapse to
+    type×hour cardinality immediately), then mean/std as window
+    aggregates over the SAME partitioning — the window reuses the agg
+    exchange, so the fact table is shuffled exactly once and the
+    window operates on bucket rows, not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.nullif(
+        F.stddev_samp("n").over(w), F.lit(0)
+    )
+    return hourly.select(
+        "event_type", "hour_start", "n", F.round(z, 4).alias("zscore")
+    )
+
+
 _LM_TOP_K = 30
 
 

@@ -292,6 +292,87 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COVERAGE_VOCAB_SIZES = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM occ
+    ),
+    tot AS (SELECT sum(n) AS total FROM ranked)
+    SELECT v.vocab_size,
+           CAST(count(rk.r) AS BIGINT) AS n_types,
+           CAST(coalesce(sum(rk.n), 0) AS BIGINT) AS n_occurrences,
+           round(CAST(coalesce(sum(rk.n), 0) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS coverage
+    FROM (SELECT unnest([{", ".join(map(str, _COVERAGE_VOCAB_SIZES))}])
+                 AS vocab_size) v
+    LEFT JOIN ranked rk ON rk.r <= v.vocab_size
+    GROUP BY v.vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: for candidate vocab sizes (top-100 /
+    top-1k / top-10k tokens by frequency, ties broken on the token),
+    the fraction of ALL corpus token occurrences those types cover —
+    the sizing curve every tokenizer/vocab decision starts from.
+
+    Plan: one token-count aggregate (vocabulary-sized output), a rank +
+    running-occurrence-sum window over vocabulary rows, then the 3-row
+    size list EQUI-joins the cumulative table at rank = least(size,
+    |vocab|) — a broadcast of three rows, never a theta-join that
+    would broadcast the vocabulary. The corpus is scanned once;
+    everything after the first agg operates on vocab cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), "token")
+    cum = (
+        occ.withColumn("r", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .select("r", "cum_n")
+    )
+    bounds = cum.agg(
+        F.max("r").alias("max_r"), F.max("cum_n").alias("total")
+    )
+    sizes = F.array(*[F.lit(s) for s in _COVERAGE_VOCAB_SIZES])
+    size_df = (
+        spark.range(1)
+        .select(F.explode(sizes).alias("vocab_size"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size"), F.col("max_r")).alias("r"),
+            "total",
+        )
+    )
+    return (
+        cum.join(F.broadcast(size_df), "r")
+        .select(
+            "vocab_size",
+            F.col("r").cast("long").alias("n_types"),
+            F.col("cum_n").alias("n_occurrences"),
+            F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
 @query(
     "text_length_quartiles",
     oracle="""
