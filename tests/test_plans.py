@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
     "text_cross_entropy",  # 1-row corpus-total broadcast onto the vocab table
     "agg_histogram",  # 1-row global min/max broadcast onto the scan
+    "text_vocab_coverage",  # 3-row size list x 1-row vocab bounds
+    "stream_dedup_watermark",  # key set x per-key min join, both bounded
     # Q11/Q22 attach a 1-row global aggregate (value threshold / avg
     # balance) to every group row: crossJoin(broadcast(1-row)) is the
     # canonical Spark shape for a scalar subquery — the "nested loop"
