@@ -249,7 +249,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return asof_join_df(ev, orders)
 
+
+def asof_join_df(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """The skew-proof as-of pattern on any (event_id, user_id, ts) ×
+    (o_custkey, o_orderkey, o_orderdate) pair of frames — separated
+    from the registry query so property-based tests can drive it with
+    generated data against a naive per-row reference."""
     joined = ev.join(
         orders,
         (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),

@@ -59,6 +59,91 @@ def test_clean_then_normalize_idempotent(_spark, rows):
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=0, max_size=25
+    ),
+)
+def test_asof_join_matches_naive(_spark, events, orders):
+    """The max-struct as-of formulation must equal the per-row naive
+    reference (latest order at/before each event for the same user,
+    orderkey as the tie-break) on arbitrary key/time layouts —
+    including duplicate timestamps, users with no orders, and orders
+    after every event."""
+    import datetime as dt
+
+    from parquet_to_hyper_app_spark.operators.relational import asof_join_df
+
+    base = dt.datetime(2024, 1, 1)
+    ev_rows = [
+        (i, user, base + dt.timedelta(minutes=m)) for i, (user, m) in enumerate(events)
+    ]
+    ord_rows = [
+        (user, 1000 + i, base + dt.timedelta(minutes=m))
+        for i, (user, m) in enumerate(orders)
+    ]
+    ev = _spark.createDataFrame(ev_rows, "event_id long, user_id long, ts timestamp_ntz")
+    od = _spark.createDataFrame(
+        ord_rows, "o_custkey long, o_orderkey long, o_orderdate timestamp_ntz"
+    )
+    got = {
+        r.event_id: (r.o_orderkey, r.o_orderdate)
+        for r in asof_join_df(ev, od).collect()
+    }
+    for eid, user, ts in ev_rows:
+        cand = [(d, k) for (u, k, d) in ord_rows if u == user and d <= ts]
+        want = max(cand) if cand else None
+        if want is None:
+            assert got[eid] == (None, None), (eid, got[eid])
+        else:
+            assert got[eid] == (want[1], want[0]), (eid, got[eid], want)
+    assert len(got) == len(ev_rows)  # exactly one output row per event
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3000)), min_size=1, max_size=25
+    ),
+    gap_minutes=st.integers(1, 60),
+)
+def test_sessionize_matches_naive(_spark, events, gap_minutes):
+    """Gap-based session numbering must equal the obvious sequential
+    reference: sort each user's events, break when the gap exceeds the
+    threshold, count strictly-greater gaps only (gap == threshold stays
+    in-session)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from parquet_to_hyper_app_spark.operators.llm.sessionize import sessionized
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, user, base + dt.timedelta(minutes=m)) for i, (user, m) in enumerate(events)
+    ]
+    df = _spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {
+        r.event_id: (r.user_id, r.session_id)
+        for r in sessionized(df, gap_seconds=gap_minutes * 60).collect()
+    }
+    per_user = defaultdict(list)
+    for eid, user, ts in rows:
+        per_user[user].append((ts, eid))
+    for user, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
+                sid += 1
+            prev = ts
+            assert got[eid] == (user, sid), (eid, got[eid], (user, sid))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=15))
 def test_dedup_exact_unique_hashes(_spark, texts):
     from parquet_to_hyper_app_spark.operators.llm.dedup import dedup_exact_df
