@@ -46,6 +46,11 @@ HEADLINE = [
     "sessionize",
     "text_stats",
     "stream_tumbling",
+    # round-3 additions: the analytics surface + the heaviest TPC-H
+    "events_funnel",
+    "text_ngram_lm",
+    "tpch_q1",
+    "tpch_q9",
 ]
 
 

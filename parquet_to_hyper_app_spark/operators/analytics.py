@@ -358,10 +358,12 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering) that follows.
 
     Plan: tokenized bigram explode (narrow) → (w1,w2) count shuffle →
-    context totals derived FROM the pair counts (re-aggregating the
-    small pair table on w1 — never a second pass over the corpus) →
-    top-k via one TakeOrderedAndProject. Token-frequency skew lands on
-    the pair-count shuffle where partial aggregation absorbs it.
+    top-k FIRST via sort+limit (TakeOrderedAndProject: per-task k-row
+    heaps — no global sort of the pair table) → context totals derived
+    FROM the pair counts (re-aggregating the small pair table on w1 —
+    never a second pass over the corpus) joined onto the 30 survivors
+    with the survivors broadcast. Token-frequency skew lands on the
+    pair-count shuffle where partial aggregation absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
@@ -380,12 +382,15 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_pair"))
     )
+    # both consumers (top-k heads, context totals) hang off the same
+    # (w1,w2) aggregate — Spark's ReusedExchange shares the shuffle, so
+    # no persist/checkpoint barrier is needed
+    order = [F.col("c_pair").desc(), F.col("w1"), F.col("w2")]
+    topk = pairs.orderBy(*order).limit(_LM_TOP_K)
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
-    w = W.orderBy(F.col("c_pair").desc(), "w1", "w2")
     return (
-        pairs.join(ctx, "w1")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _LM_TOP_K)
+        ctx.join(F.broadcast(topk), "w1")
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)).cast("long"))
         .select(
             "w1",
             "w2",

@@ -274,21 +274,25 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence count, deterministic tie-break on the token itself.
 
     Scale shape: explode is narrow; the count is a partial+final hash
-    aggregate whose output is the (bounded) vocabulary, so the global
-    top-k window sorts vocabulary rows, not corpus rows. For web-scale
-    vocabularies, swap the final window for the same per-partition
-    top-k + merge this engine uses in similarity search.
+    aggregate whose output is the (bounded) vocabulary. The top-k is
+    sort+limit — Spark plans TakeOrderedAndProject (per-task k-row
+    heaps, driver merges k·tasks rows) — and only the k survivors get
+    the row_number rank, so NO global sort of the vocabulary ever
+    materializes at any scale.
     """
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    w = W.orderBy(F.col("n_occurrences").desc(), "token")
-    return (
+    order = [F.col("n_occurrences").desc(), F.col("token")]
+    topk = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _VOCAB_TOP_K)
+        .orderBy(*order)
+        .limit(_VOCAB_TOP_K)
+    )
+    return topk.withColumn(
+        "rank", F.row_number().over(W.orderBy(*order)).cast("long")
     )
 
 
