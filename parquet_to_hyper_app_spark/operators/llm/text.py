@@ -296,6 +296,53 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_rank_cumsum(occ: "DataFrame") -> "DataFrame":
+    """Distributed global rank + running sum over (n DESC, token).
+
+    The naive formulation — `row_number()/sum() OVER (ORDER BY ...)`
+    with no PARTITION BY — moves the whole frame into ONE partition.
+    This is the standard two-phase replacement that parallelizes at any
+    cardinality:
+
+    1. `repartitionByRange` on the order key: partition i holds a
+       contiguous, globally-ordered slice (range partitioner IDs are
+       ordered by the sort expressions);
+    2. per-partition row_number + cumsum — windows PARTITIONED BY the
+       physical partition id, so every partition sorts only its slice;
+    3. per-partition row/sum totals (one row per partition) get
+       exclusive-prefix offsets via a window over that tiny frame, and
+       broadcast-join back: global rank = offset + local rank.
+
+    Returns the input columns plus `r` (1-based global rank) and
+    `cum_n` (running sum of `n` through rank r).
+    """
+    from pyspark.sql import Window as W
+
+    sliced = occ.repartitionByRange(F.col("n").desc(), F.col("token")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wl = W.partitionBy("__pid").orderBy(F.col("n").desc(), "token")
+    local = sliced.withColumn("__lr", F.row_number().over(wl)).withColumn(
+        "__lcum", F.sum("n").over(wl.rowsBetween(W.unboundedPreceding, 0))
+    )
+    wp = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.max("__lr").alias("__cnt"), F.sum("n").alias("__sum"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(wp), F.lit(0)).alias("__r_off"),
+            F.coalesce(F.sum("__sum").over(wp), F.lit(0)).alias("__c_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("r", (F.col("__r_off") + F.col("__lr")).cast("int"))
+        .withColumn("cum_n", F.col("__c_off") + F.col("__lcum"))
+        .drop("__pid", "__lr", "__lcum", "__r_off", "__c_off")
+    )
+
+
 _COVERAGE_VOCAB_SIZES = (100, 1000, 10000)
 
 
@@ -331,27 +378,28 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of ALL corpus token occurrences those types cover —
     the sizing curve every tokenizer/vocab decision starts from.
 
-    Plan: one token-count aggregate (vocabulary-sized output), a rank +
-    running-occurrence-sum window over vocabulary rows, then the 3-row
-    size list EQUI-joins the cumulative table at rank = least(size,
-    |vocab|) — a broadcast of three rows, never a theta-join that
-    would broadcast the vocabulary. The corpus is scanned once;
-    everything after the first agg operates on vocab cardinality.
+    Plan: one token-count aggregate (vocabulary-sized output), then a
+    DISTRIBUTED global rank + running occurrence sum — range-partition
+    on the order key, per-partition row_number/cumsum (parallel
+    windows), and per-partition offsets (a partition-count-sized frame)
+    broadcast back — never a single-partition sort of the vocabulary.
+    The 3-row size list then EQUI-joins the cumulative table at rank =
+    least(size, |vocab|). The corpus is scanned once; everything after
+    the first agg operates on vocab cardinality.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # persist the vocab-sized intermediates: the range partitioner's
+    # sampling pass, the bounds aggregate, and the final join each
+    # re-execute their subtree otherwise (the corpus would be
+    # re-aggregated up to 4x); at 100 TB you cache exactly these —
+    # they are vocabulary-sized, not corpus-sized
     occ = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col("n").desc(), "token")
-    cum = (
-        occ.withColumn("r", F.row_number().over(w))
-        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)))
-        .select("r", "cum_n")
-    )
+    cum = _global_rank_cumsum(occ).select("r", "cum_n").persist()
     bounds = cum.agg(
         F.max("r").alias("max_r"), F.max("cum_n").alias("total")
     )
@@ -366,7 +414,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    return (
+    out = (
         cum.join(F.broadcast(size_df), "r")
         .select(
             "vocab_size",
@@ -374,7 +422,11 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_n").alias("n_occurrences"),
             F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias("coverage"),
         )
+        .localCheckpoint(eager=True)
     )
+    cum.unpersist()
+    occ.unpersist()
+    return out
 
 
 @query(
