@@ -67,14 +67,20 @@ _N_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 
-#: word 3-gram shingles of the lower-cased text, distinct
+#: word 3-gram shingles of the lower-cased text, distinct, HASHED to
+#: int64 immediately — every later stage (signature fold, exact verify)
+#: runs on 8-byte longs; shingle string bytes are scanned exactly once
+#: (the same rescan-avoidance that took dedup_ngram_jaccard 97 s → 5 s)
 _SHINGLES = """
-array_distinct(
-  CASE WHEN size(__words) >= 3 THEN
-    transform(sequence(0, size(__words) - 3),
-              i -> concat_ws(' ', __words[i], __words[i+1], __words[i+2]))
-  ELSE array(concat_ws(' ', __words))
-  END
+transform(
+  array_distinct(
+    CASE WHEN size(__words) >= 3 THEN
+      transform(sequence(0, size(__words) - 3),
+                i -> concat_ws(' ', __words[i], __words[i+1], __words[i+2]))
+    ELSE array(concat_ws(' ', __words))
+    END
+  ),
+  s -> xxhash64(s)
 )
 """
 
@@ -85,9 +91,10 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     ).withColumn("shingles", F.expr(_SHINGLES)).drop("__words")
 
 
-#: single-pass signature: one fold over the shingles computes all 32
-#: seeded minhashes (32 separate array_min(transform(...)) calls would
-#: rescan the array 32× and emit a much larger codegen body).
+#: single-pass signature: one fold over the hashed shingles computes
+#: all 32 seeded minhashes (32 separate array_min(transform(...)) calls
+#: would rescan the array 32× and emit a much larger codegen body);
+#: each seeded hash re-hashes a fixed-width long, not the string.
 _SIGNATURE = f"""
 aggregate(
   shingles,
