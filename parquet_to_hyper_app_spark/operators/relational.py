@@ -252,16 +252,20 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_df(ev, orders)
 
 
-def asof_join_df(ev: DataFrame, orders: DataFrame) -> DataFrame:
+def asof_join_df(
+    ev: DataFrame, orders: DataFrame, tolerance: str | None = None
+) -> DataFrame:
     """The skew-proof as-of pattern on any (event_id, user_id, ts) ×
     (o_custkey, o_orderkey, o_orderdate) pair of frames — separated
     from the registry query so property-based tests can drive it with
-    generated data against a naive per-row reference."""
-    joined = ev.join(
-        orders,
-        (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
-        "left",
-    )
+    generated data against a naive per-row reference. `tolerance` is an
+    optional SQL interval string (e.g. "INTERVAL 30 DAYS"): matches
+    older than ts − tolerance are rejected (pandas merge_asof
+    semantics)."""
+    cond = (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts)
+    if tolerance is not None:
+        cond = cond & (orders.o_orderdate >= ev.ts - F.expr(tolerance))
+    joined = ev.join(orders, cond, "left")
     return (
         joined.groupBy("event_id", "user_id", "ts")
         .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
@@ -648,21 +652,4 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    joined = ev.join(
-        orders,
-        (orders.o_custkey == ev.user_id)
-        & (orders.o_orderdate <= ev.ts)
-        & (orders.o_orderdate >= F.col("ts") - F.expr("INTERVAL 30 DAYS")),
-        "left",
-    )
-    return (
-        joined.groupBy("event_id", "user_id", "ts")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("best"))
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("best.o_orderkey").alias("o_orderkey"),
-            F.col("best.o_orderdate").alias("o_orderdate"),
-        )
-    )
+    return asof_join_df(ev, orders, tolerance="INTERVAL 30 DAYS")

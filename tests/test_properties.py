@@ -101,6 +101,18 @@ def test_asof_join_matches_naive(_spark, events, orders):
         else:
             assert got[eid] == (want[1], want[0]), (eid, got[eid], want)
     assert len(got) == len(ev_rows)  # exactly one output row per event
+    # tolerance variant: same reference with the staleness band applied
+    tol = dt.timedelta(minutes=100)
+    got_tol = {
+        r.event_id: (r.o_orderkey, r.o_orderdate)
+        for r in asof_join_df(ev, od, tolerance="INTERVAL 100 MINUTES").collect()
+    }
+    for eid, user, ts in ev_rows:
+        cand = [
+            (d, k) for (u, k, d) in ord_rows if u == user and ts - tol <= d <= ts
+        ]
+        want = max(cand) if cand else None
+        assert got_tol[eid] == ((want[1], want[0]) if want else (None, None)), eid
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
