@@ -130,6 +130,7 @@ _CHECK_PRIORITY = [
     "stream_dedup_watermark",
     "events_anomaly_zscore",
     "text_vocab_coverage",
+    "sink_zorder_clustered",
 ]
 
 

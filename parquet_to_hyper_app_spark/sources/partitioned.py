@@ -144,6 +144,111 @@ def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+#: bits per dimension for the z-order curve (16 → 32-bit z-values)
+_Z_BITS = 16
+
+
+def zorder_value(x_bucket, y_bucket):
+    """Interleave two <=16-bit bucket ids into a Morton (Z-order)
+    code, entirely in JVM expressions: bit i of x lands at 2i+1, bit i
+    of y at 2i. Locality on the curve ⇒ locality in BOTH dimensions."""
+    return F.expr(
+        f"""
+        aggregate(sequence(0, {_Z_BITS - 1}), 0L,
+                  (acc, i) -> acc
+                      | shiftleft(CAST(shiftright({x_bucket}, i) & 1 AS BIGINT), 2*i + 1)
+                      | shiftleft(CAST(shiftright({y_bucket}, i) & 1 AS BIGINT), 2*i))
+        """
+    )
+
+
+@query(
+    "sink_zorder_clustered",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+               AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 300
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink: orders laid out so that
+    parquet row-group min/max statistics prune selective scans on BOTH
+    (o_custkey, o_orderdate) — the multi-dimensional cousin of
+    `sink_range_clustered`'s 1-D time layout, and what a lakehouse
+    OPTIMIZE ... ZORDER BY does.
+
+    Mechanics: each dimension is normalized to a 16-bit bucket against
+    its observed min/max (a 1-row broadcast), the bucket bits are
+    interleaved into a Morton code (pure JVM higher-order expression),
+    and the table is range-partitioned + sorted by that code. A file
+    then owns a contiguous curve segment — a small rectangle in
+    (custkey × date) space — so a 2-D selective read touches few
+    files, where either single-column sort would only prune one
+    dimension. The read-back applies both filters; the oracle is the
+    same 2-D selection on the source, proving the layout value-neutral
+    AND the pushed predicates correct (`PushedFilters` asserted in
+    tests/test_plans.py::test_zorder_sink_prunes_both_dims).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lo_hi = orders.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("d_lo"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("d_hi"),
+    )
+    top = (1 << _Z_BITS) - 1
+    bucket = (
+        lambda v, lo, hi: F.least(
+            F.floor(
+                (v - F.col(lo)).cast("double")
+                / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+                * top
+            ).cast("long"),
+            F.lit(top),
+        )
+    )
+    with_z = (
+        orders.crossJoin(F.broadcast(lo_hi))
+        .withColumn("__ck_b", bucket(F.col("o_custkey"), "ck_lo", "ck_hi"))
+        .withColumn(
+            "__d_b",
+            bucket(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")), "d_lo", "d_hi"
+            ),
+        )
+        .withColumn("__z", zorder_value("__ck_b", "__d_b"))
+        .drop("ck_lo", "ck_hi", "d_lo", "d_hi")
+    )
+    path = os.path.join(tempfile.gettempdir(), "p2h_spark_part", "zorder_clustered")
+    (
+        with_z.repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__ck_b", "__d_b", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey").between(100, 300))
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp_ntz"),
+                F.lit("1996-12-31").cast("timestamp_ntz"),
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
 @query(
     "sink_dynamic_partition_overwrite",
     oracle="""

@@ -111,6 +111,20 @@ def test_lsh_pipeline_plan_has_no_nested_loop(spark):
     assert s.shuffles <= 4, s  # signatures + band self-join + verify joins
 
 
+def test_zorder_sink_prunes_both_dims(spark):
+    """The z-order read-back must push BOTH dimension predicates to the
+    parquet scan (row-group pruning is what the layout exists for)."""
+    from parquet_to_hyper_app_spark.plans.inspect import plan_stats
+
+    df = load_all()["sink_zorder_clustered"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.pushed_filters, s
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_custkey" in plan.split("PushedFilters")[1][:400], plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:400], plan
+
+
 def test_asof_join_preaggregates_before_shuffle(spark):
     """join_asof must collapse the event x prior-orders fanout with a
     map-side partial aggregate (skew posture), not push the full fanout
