@@ -54,84 +54,20 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-3 check ordering. The driver verifies the FIRST 50 keys of this
-# dict per round; rounds 1+2 together produced rows for 99 of 134 keys.
-# Slots 1–35: every key with NO driver row in either round (all 17 new
-# TPC-H queries first — the ones a real analyst hits — then the corpus
-# ops and remaining stragglers). Slots 36–50: keys whose implementation
-# or oracle changed in round 3 (streaming ts-unit fix, newly-added
-# oracles, recall columns), then headline re-checks. Keys not listed
-# follow in registry order.
-_CHECK_PRIORITY = [
-    # -- never checked in r1/r2: TPC-H suite --
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # -- never checked: corpus / training-data ops --
-    "contamination_ngram",
-    "doc_repetition",
-    "quality_rollup_source",
-    "text_cross_entropy",
-    "text_pii_redact",
-    "doc_packing",
-    "embedding_quantize",
-    # -- never checked: remaining relational / window / sink / stream --
-    "scd2_history",
-    "join_full_outer",
-    "join_asof_tolerance",
-    "window_first_last",
-    "window_range_interval",
-    "set_intersect_all",
-    "set_except_all",
-    "sql_subquery_scalar",
-    "sink_dynamic_partition_overwrite",
-    "stream_stream_join",
-    # -- round-3 fixes that MUST get a fresh row: the streaming ts-unit
-    # bug (red in r2) and the keys whose oracle/columns changed --
-    "stream_watermark_late",
-    "stream_foreach_batch",
-    "stream_stateful_profile",
-    "convert_sink_events",
-    "dedup_clusters",
-    "pipeline_training_corpus_full",
-    "similarity_ivf",
-    "similarity_kmeans_ivf",
-    # -- impl changed in r2 after their green row (stale greens) --
-    "join_asof",
-    "dedup_ngram_jaccard",
-    "text_tfidf",
-    # -- round-3 oracle/schema additions --
-    "text_lang_id",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    # -- new round-3 operators (first two fit the 50-slot budget; the
-    # other three analytics keys land right after and lead round 4) --
-    "events_funnel",
-    "retention_cohorts",
-    "agg_histogram",
-    "agg_median_mode",
-    "text_ngram_lm",
-    "stream_incremental_agg",
-    "stream_dedup_watermark",
-    "events_anomaly_zscore",
-    "text_vocab_coverage",
-    "sink_zorder_clustered",
-]
+# Round-4 check ordering — GENERATED, not hand-maintained (VERDICT r3
+# item 6): `python tools/greens.py --emit` derives it from
+# tools/green_state.json, which records each key's last non-failing
+# driver round plus the source+oracle fingerprint the code had then.
+# Order: never-checked keys first (the 9 round-3 additions that fell
+# past round 3's 50-row budget), then keys edited since their last
+# green (round-4 oracle promotions + the streaming-source refactor
+# dependents + the r3 text_vocab_topk rewrite), then rotation by
+# oldest green round. tests/test_green_tripwire.py regenerates the
+# list and fails on drift or on a hot key outside the 50-slot budget.
+with open(os.path.join(_REPO_ROOT, "tools", "check_priority.json")) as _f:
+    import json as _json
+
+    _CHECK_PRIORITY: list[str] = _json.load(_f)["order"]
 
 
 def _ordered_specs():

@@ -165,9 +165,10 @@ _HIST_BUCKETS = 20
         FROM lineitem
     ),
     bucketed AS (
-        SELECT least(CAST(floor((l_extendedprice - lo) / (hi - lo)
-                                * {_HIST_BUCKETS}) AS BIGINT),
-                     {_HIST_BUCKETS - 1}) AS bucket,
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((l_extendedprice - lo) / (hi - lo)
+                                          * {_HIST_BUCKETS}) AS BIGINT),
+                               {_HIST_BUCKETS - 1}) END AS bucket,
                lo, hi
         FROM lineitem, bounds
     )
@@ -194,13 +195,20 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
-    b = F.least(
-        F.floor(
-            (F.col("l_extendedprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo"))
-            * _HIST_BUCKETS
-        ).cast("long"),
-        F.lit(_HIST_BUCKETS - 1),
+    # degenerate range (all-equal / single-row column): hi == lo makes
+    # the divisor 0 — NULL buckets here, inf/NaN in the DuckDB oracle.
+    # Both sides map that case to bucket 0 with the SAME CASE guard.
+    b = F.when(
+        F.col("hi") == F.col("lo"), F.lit(0).cast("long")
+    ).otherwise(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _HIST_BUCKETS
+            ).cast("long"),
+            F.lit(_HIST_BUCKETS - 1),
+        )
     )
     # edge arithmetic associates exactly as the oracle's
     # `lo + bucket * (hi - lo) / N` — same IEEE op order, same bits
@@ -390,7 +398,16 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = pairs.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     return (
         ctx.join(F.broadcast(topk), "w1")
-        .withColumn("rank", F.row_number().over(W.orderBy(*order)).cast("long"))
+        # ≤ k rows reach this window; the constant partition key
+        # (shiftright(count, 63) == 0, opaque to the optimizer — a
+        # literal or `col * 0` gets stripped) silences the spurious
+        # "No Partition Defined" WindowExec warning
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy(F.shiftright(F.col("c_pair"), 63)).orderBy(*order))
+            .cast("long"),
+        )
         .select(
             "w1",
             "w2",

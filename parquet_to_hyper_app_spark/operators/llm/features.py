@@ -22,13 +22,96 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
 from parquet_to_hyper_app_spark.registry import query
 
 
-@query("text_tfidf")
+@query(
+    "text_tfidf",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS wgt
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    top AS (
+        SELECT doc_id, term, wgt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY wgt DESC, term) AS rn
+        FROM w
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           coalesce(t.term, '') AS top_term,
+           coalesce(t.wgt, 0.0) AS top_weight
+    FROM docs d
+    LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON t.doc_id = d.doc_id
+    """,
+)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S33g (rows-only): hashed TF-IDF document vectors — tokenize →
-    HashingTF (2^12 buckets, fixed) → IDF → per-doc top-weighted
-    bucket. The standard cheap vectorization before clustering/
-    classification; one fit pass (IDF document frequencies) + one
-    transform pass, both distributed."""
+    """S33g: exact TF-IDF — whitespace tokenize → per-(doc, term) TF →
+    document-frequency join → idf = ln((N+1)/(df+1)) (the MLlib IDF
+    formula) → per-doc top-weighted term (ties broken on the term).
+    Fully deterministic, hence hash-checked end-to-end; the hashed
+    vocab-free variant (HashingTF buckets are engine-specific) lives in
+    `text_tfidf_hashed` with its shape pinned by unit tests.
+
+    Scale: two shuffles (TF groupBy on (doc_id, term); DF groupBy +
+    join on term). The N-docs scalar is the canonical 1-row broadcast.
+    Stop-word-grade terms skew the term join; AQE skew splitting
+    handles it, and df's one-row-per-term side stays shuffle-join-safe
+    at any vocab size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("wgt"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(F.col("wgt").desc(), "term")
+    top = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("wgt").alias("top_weight"))
+    )
+    return toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens")).join(
+        top, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("top_term", F.lit("")).alias("top_term"),
+        F.coalesce("top_weight", F.lit(0.0)).alias("top_weight"),
+    )
+
+
+def text_tfidf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-free hashed TF-IDF (not registry-checked: HashingTF bucket
+    indices are engine-specific) — tokenize → HashingTF (2^12 buckets,
+    fixed) → IDF → per-doc top-weighted bucket. The scale path when the
+    vocabulary itself is too large to shuffle; one fit pass (IDF
+    document frequencies) + one transform pass, both distributed."""
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

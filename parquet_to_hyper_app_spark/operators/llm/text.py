@@ -291,8 +291,17 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .limit(_VOCAB_TOP_K)
     )
+    # the frame is ≤ k rows, but a window with NO partitionSpec fires
+    # the "No Partition Defined" WindowExec warning — indistinguishable
+    # in a log scan from a real single-partition sort. The constant
+    # partition key must survive the optimizer: literals are stripped
+    # by EliminateWindowPartitions and `col * 0` is arithmetic-folded;
+    # shiftright(count, 63) is 0 for any count yet stays an opaque
+    # expression, so the plan keeps a partitionSpec and no warning.
+    one_part = F.shiftright(F.col("n_occurrences"), 63)
     return topk.withColumn(
-        "rank", F.row_number().over(W.orderBy(*order)).cast("long")
+        "rank",
+        F.row_number().over(W.partitionBy(one_part).orderBy(*order)).cast("long"),
     )
 
 
@@ -325,7 +334,15 @@ def _global_rank_cumsum(occ: "DataFrame") -> "DataFrame":
     local = sliced.withColumn("__lr", F.row_number().over(wl)).withColumn(
         "__lcum", F.sum("n").over(wl.rowsBetween(W.unboundedPreceding, 0))
     )
-    wp = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    # one row per partition flows through this frame; the constant
+    # partition key (shiftright(pid, 63) == 0 — opaque to the
+    # optimizer, unlike a literal or `pid * 0` which get stripped)
+    # only suppresses the spurious WindowExec warning
+    wp = (
+        W.partitionBy(F.shiftright(F.col("__pid").cast("long"), 63))
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = (
         local.groupBy("__pid")
         .agg(F.max("__lr").alias("__cnt"), F.sum("n").alias("__sum"))

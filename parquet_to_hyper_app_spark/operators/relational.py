@@ -389,30 +389,48 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S17 (rows-only): HyperLogLog++ distinct estimate per group.
+    """S17: HyperLogLog++ distinct estimate per group, hash-checked on
+    its deterministic half.
 
-    No oracle by design — the estimate is algorithm-specific; DuckDB's
-    approx_count_distinct uses a different sketch and need not match.
-    Instead every row carries its own audit: the EXACT distinct count
-    (computed in the same single aggregation — Spark plans both as one
-    Expand + partial/final agg pass) and the signed relative error, so
-    the rows-only driver check still records the sketch quality
-    numerically; the 2% rsd bound is asserted in tests.
+    The sketch VALUE is algorithm-specific (DuckDB's
+    approx_count_distinct is a different sketch and need not match), so
+    the raw estimate can't be a hash-checked column. Instead the query
+    emits the EXACT distinct count (computed in the same single
+    aggregation — Spark plans both as one partial/final agg pass) plus
+    a boolean asserting the sketch landed within 5% of exact (~2.5σ at
+    rsd=0.02; observed ~1% at sf0.01). The oracle recomputes the exact
+    half and pins the boolean at TRUE — a degraded sketch flips the
+    boolean and reds the hash check. The tighter 2% rsd bound stays
+    asserted in tests.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).withColumn(
-        "rel_error",
-        F.round(
-            (F.col("approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts").cast("double"),
-            6,
-        ),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

@@ -141,36 +141,43 @@ def sql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+           quantile_disc(l_extendedprice, 0.9) AS exact_p90,
+           TRUE AS p50_within_1pct,
+           TRUE AS p90_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S17b (rows-only): approximate percentiles via the KLL/GK-style
-    sketch (`percentile_approx`). Sketch outputs are engine-specific so
-    no oracle; instead each row carries its own audit — the EXACT
-    discrete percentiles (same single aggregation pass) and the
-    relative errors — so the rows-only driver check records sketch
-    quality numerically; the accuracy floor is asserted in tests.
+    """S17b: approximate percentiles via the KLL/GK-style sketch
+    (`percentile_approx`), hash-checked on the deterministic half.
 
-    One scalar column per quantile (not an array column): the sketch is
-    computed once per group and `element_at` splits it — and the
-    driver's canonicalizer requires hashable (scalar) cells. The exact
-    reference is `percentile_approx` at accuracy = INT_MAX, which
-    degenerates to the exact nearest-rank percentile in the same value
-    space the sketch draws from (Spark's exact `percentile` would
-    interpolate between data points — not comparable to a sketch that
-    returns actual data values).
+    The sketch VALUE is engine-specific, so it can't be a hash-checked
+    column; each row instead emits the EXACT discrete percentiles (the
+    same sketch at accuracy = INT_MAX, which degenerates to the exact
+    nearest-rank percentile — verified bit-equal to DuckDB's
+    `quantile_disc`, since both return actual data values; Spark's
+    exact `percentile` would interpolate between points) plus booleans
+    asserting the accuracy-1000 sketch landed within 1% of exact
+    (observed ~0.15% at sf0.01). The oracle recomputes the exact half
+    and pins the booleans TRUE — sketch degradation reds the hash
+    check. Both sketches come from ONE aggregation pass; the tighter
+    accuracy floor stays asserted in tests.
     """
     v = _view(spark, sf_dir, "lineitem")
     return spark.sql(
         f"""
         SELECT l_returnflag,
-               element_at(sketch, 1) AS approx_p50,
-               element_at(sketch, 2) AS approx_p90,
                element_at(exact, 1)  AS exact_p50,
                element_at(exact, 2)  AS exact_p90,
-               round((element_at(sketch, 1) - element_at(exact, 1))
-                     / element_at(exact, 1), 6) AS rel_err_p50,
-               round((element_at(sketch, 2) - element_at(exact, 2))
-                     / element_at(exact, 2), 6) AS rel_err_p90
+               abs(element_at(sketch, 1) - element_at(exact, 1))
+                   <= 0.01 * abs(element_at(exact, 1)) AS p50_within_1pct,
+               abs(element_at(sketch, 2) - element_at(exact, 2))
+                   <= 0.01 * abs(element_at(exact, 2)) AS p90_within_1pct
         FROM (
             SELECT l_returnflag,
                    percentile_approx(l_extendedprice, array(0.5, 0.9), 1000) AS sketch,

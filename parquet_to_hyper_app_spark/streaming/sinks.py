@@ -114,7 +114,15 @@ def run_incremental_agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
-        prior = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
+        # merge only with snapshots from STRICTLY EARLIER epochs: if this
+        # epoch is replayed after its own snapshot write succeeded (crash
+        # between snapshot write and checkpoint commit), snap_<epoch_id>
+        # already contains this batch — merging with it would double-count
+        prior = sorted(
+            p
+            for p in _g.glob(os.path.join(out_dir, "snap_*"))
+            if int(p.rsplit("_", 1)[1]) < epoch_id
+        )
         if prior:
             prev = batch_df.sparkSession.read.parquet(prior[-1])
             part = (
@@ -190,5 +198,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.min("ts").alias("first_seen"))
     )
-    keys = out.select("user_id", "event_type")
+    # distinct() keeps the oracle equivalence even if the source runs
+    # multi-batch (maxFilesPerTrigger): a key re-emitted after watermark
+    # state eviction would otherwise duplicate rows through the join —
+    # cheap, bounded by key cardinality, not stream length
+    keys = out.select("user_id", "event_type").distinct()
     return keys.join(mins, ["user_id", "event_type"])

@@ -36,25 +36,41 @@ RAW_EVENTS_SCHEMA = (
     " event_type string, value double, props string"
 )
 
-#: per-source-path cache of the detected (divisor, multiplier) to µs
+#: cache of the detected (divisor, multiplier) to µs, keyed by the
+#: RESOLVED events.parquet path (stable across queries) — the per-query
+#: symlink dir embeds a uuid and would never hit
 _TS_SCALE_CACHE: dict[str, tuple[int, int]] = {}
 
 
-def _ts_micros_scale(spark: SparkSession, src_dir: str) -> tuple[int, int]:
+def _ts_micros_scale(
+    spark: SparkSession, src_dir: str, cache_key: str
+) -> tuple[int, int]:
     """Detect the int64 unit of ``ts`` as read through RAW_EVENTS_SCHEMA.
 
     Returns ``(div, mul)`` with exactly one ≠ 1 such that
-    ``µs = ts div div * mul``. Detection: a one-row batch read through
+    ``µs = ts div div * mul``. Detection: a batch aggregate through
     the SAME user schema the stream uses (identical parquet datasource
-    → identical unit), classified by magnitude — for any event time
-    between 1971 and ~2200, nanos sit above 3e16, micros above 3e13,
-    millis above 3e10, else seconds. Batch and stream cannot disagree
-    because both are the V1 parquet source with an explicit user
-    schema.
+    → identical unit), classified by magnitude of ``max(abs(ts))`` over
+    NON-NULL rows — for any event time between 1971 and ~2200, nanos
+    sit above 3e16, micros above 3e13, millis above 3e10, else seconds.
+    An arbitrary-first-row probe would misclassify a NULL-leading file
+    as seconds and shift every timestamp 10^6×. Batch and stream cannot
+    disagree because both are the V1 parquet source with an explicit
+    user schema.
     """
-    if src_dir not in _TS_SCALE_CACHE:
-        row = spark.read.schema(RAW_EVENTS_SCHEMA).parquet(src_dir).select("ts").first()
-        ts = abs(row[0]) if row and row[0] is not None else 0
+    if cache_key not in _TS_SCALE_CACHE:
+        row = (
+            spark.read.schema(RAW_EVENTS_SCHEMA)
+            .parquet(src_dir)
+            .where(F.col("ts").isNotNull())
+            .agg(F.max(F.abs(F.col("ts"))))
+            .first()
+        )
+        ts = row[0] if row is not None else None
+        if ts is None:
+            raise ValueError(
+                f"cannot detect ts unit: no non-null ts values in {src_dir}"
+            )
         if ts > 3 * 10**16:
             scale = (1_000, 1)  # nanoseconds
         elif ts > 3 * 10**13:
@@ -63,8 +79,8 @@ def _ts_micros_scale(spark: SparkSession, src_dir: str) -> tuple[int, int]:
             scale = (1, 1_000)  # milliseconds
         else:
             scale = (1, 1_000_000)  # seconds
-        _TS_SCALE_CACHE[src_dir] = scale
-    return _TS_SCALE_CACHE[src_dir]
+        _TS_SCALE_CACHE[cache_key] = scale
+    return _TS_SCALE_CACHE[cache_key]
 
 
 def events_file_stream(
@@ -88,7 +104,7 @@ def events_file_stream(
         # against /tmp (dangling) while batch reads still worked
         os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
     stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
-    div, mul = _ts_micros_scale(spark, src_dir)
+    div, mul = _ts_micros_scale(spark, src_dir, os.path.realpath(link))
     if (div, mul) != (1, 1):
         stream = stream.withColumn("ts", F.expr(f"ts div {div} * {mul}"))
     return stream, ckpt

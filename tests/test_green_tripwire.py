@@ -1,0 +1,49 @@
+"""Stale-green tripwire (VERDICT r3 item 6).
+
+A driver green goes stale the moment the key's function or oracle is
+edited afterwards; rounds 2 and 3 each shipped one such stale green
+because the check priority list was hand-maintained memory. These
+tests make it mechanical: the committed check_priority.json must equal
+a fresh regeneration from green_state.json, and every key that NEEDS a
+fresh driver row (never-checked / edited-since-green / failed) must
+sit inside the driver's 50-slot budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tools.greens import BUDGET, STATE_PATH, load_state, priority
+
+from parquet_to_hyper_app_spark.registry import load_all
+
+_PRIORITY_PATH = os.path.join(os.path.dirname(STATE_PATH), "check_priority.json")
+
+
+def test_priority_list_is_generated():
+    """Committed list == regeneration; edits to any registered function
+    or oracle without re-running `tools/greens.py --emit` fail here."""
+    specs = load_all()
+    ordered, reason = priority(specs, load_state())
+    with open(_PRIORITY_PATH) as f:
+        committed = json.load(f)
+    assert committed["order"] == ordered, (
+        "check_priority.json is stale — run: python tools/greens.py --emit"
+    )
+    assert committed["hot"] == reason
+
+
+def test_hot_keys_fit_driver_budget():
+    """Every key needing a fresh row must be value-checked next round."""
+    specs = load_all()
+    ordered, reason = priority(specs, load_state())
+    head = set(ordered[:BUDGET])
+    outside = [k for k in reason if k not in head]
+    assert not outside, f"hot keys outside the 50-slot driver budget: {outside}"
+
+
+def test_every_registered_key_is_listed():
+    specs = load_all()
+    ordered, _ = priority(specs, load_state())
+    assert sorted(ordered) == sorted(specs)

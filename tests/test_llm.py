@@ -153,12 +153,19 @@ def test_kmeans_ivf_recall(spark):
 
 
 def test_tfidf_shapes(spark):
-    from parquet_to_hyper_app_spark.operators.llm.features import text_tfidf
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        text_tfidf,
+        text_tfidf_hashed,
+    )
 
     out = text_tfidf(spark, SF_SMOKE).collect()
-    assert len(out) == load_table(spark, SF_SMOKE, "documents").count()
-    assert all(r.top_bucket >= 0 and r.top_weight >= 0 for r in out)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(out) == n_docs
+    assert all(r.top_term != "" and r.top_weight >= 0 for r in out)
     assert all(r.n_tokens > 0 for r in out)
+    hashed = text_tfidf_hashed(spark, SF_SMOKE).collect()
+    assert len(hashed) == n_docs
+    assert all(r.top_bucket >= 0 and r.top_weight >= 0 for r in hashed)
 
 
 def test_embedding_lsh_recall_and_plan(spark):

@@ -13,32 +13,39 @@ from tests.conftest import SF_SMOKE
 
 
 def test_approx_distinct_error(spark):
-    """HLL++ estimate at rsd=0.02 should be within 5% of exact, and the
-    in-query audit columns (exact_parts, rel_error) must agree with an
-    independently computed exact count."""
+    """The hash-checked boolean must be TRUE, the exact half must agree
+    with an independently computed count, and the raw HLL++ estimate
+    (recomputed here, not in the query output) must meet the tighter
+    2%-rsd-scale bound the 5% driver boolean relaxes."""
     rows = agg_approx_distinct(spark, SF_SMOKE).collect()
-    approx = {r.l_returnflag: r.approx_parts for r in rows}
     li = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
         r.l_returnflag: r.d
         for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("d")).collect()
     }
+    approx = {
+        r.l_returnflag: r.a
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"))
+        .collect()
+    }
+    for r in rows:
+        assert r.approx_within_5pct, r
+        assert r.exact_parts == exact[r.l_returnflag]
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
-    for r in rows:
-        assert r.exact_parts == exact[r.l_returnflag]
-        assert abs(r.rel_error - (r.approx_parts - r.exact_parts) / r.exact_parts) < 1e-6
 
 
 def test_approx_percentile_audit(spark):
-    """The percentile sketch's in-query audit: exact_p* come from the
-    degenerate exact sketch, rel_err within the 1/accuracy bound."""
+    """The hash-checked booleans must be TRUE and the exact columns
+    must be actual data values of the group (nearest-rank, ordered)."""
     from parquet_to_hyper_app_spark.operators.sql_surface import agg_approx_percentile
 
-    for r in agg_approx_percentile(spark, SF_SMOKE).collect():
-        assert abs(r.rel_err_p50) <= 0.05, r
-        assert abs(r.rel_err_p90) <= 0.05, r
-        # the exact columns must be actual data values of the group
+    rows = agg_approx_percentile(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_within_1pct, r
+        assert r.p90_within_1pct, r
         assert r.exact_p50 <= r.exact_p90
 
 

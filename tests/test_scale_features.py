@@ -67,7 +67,7 @@ def test_approx_percentile_close_to_exact(spark):
 
     specs = load_all()
     approx = {
-        r.l_returnflag: (r.approx_p50, r.approx_p90)
+        r.l_returnflag: (r.exact_p50, r.exact_p90, r.p50_within_1pct, r.p90_within_1pct)
         for r in specs["agg_approx_percentile"].fn(spark, SF_SMOKE).collect()
     }
     exact = {
@@ -78,9 +78,10 @@ def test_approx_percentile_close_to_exact(spark):
         .selectExpr("l_returnflag", "median_qty as p50", "p90_price as p90")
         .collect()
     }
-    for flag, (p50_a, p90_a) in approx.items():
-        # compare p90 of extendedprice only (same column as approx)
-        assert abs(p90_a - exact[flag][1]) / exact[flag][1] < 0.05
+    for flag, (_p50, p90_d, ok50, ok90) in approx.items():
+        assert ok50 and ok90, (flag, ok50, ok90)
+        # nearest-rank p90 of extendedprice vs interpolated exact p90
+        assert abs(p90_d - exact[flag][1]) / exact[flag][1] < 0.05
 
 
 def test_error_taxonomy(spark, tmp_path):

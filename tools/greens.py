@@ -1,0 +1,176 @@
+"""Stale-green tripwire + generated driver-check priority list.
+
+The driver value-checks only the first 50 keys of `_CHECK_PRIORITY`
+per round, so a green row goes stale the moment the function (or its
+oracle) is edited afterwards — rounds 2/3 each shipped one such stale
+green. This tool makes staleness mechanical instead of remembered:
+
+- ``green_state.json`` (committed, next to this file) records, per key,
+  the round of its last non-failing driver row and the FINGERPRINT
+  (sha256 of the registered function's source + its oracle SQL) the
+  code had when that row was recorded.
+- ``--priority`` regenerates the check order from that state:
+  tier 1 = never driver-checked, tier 2 = fingerprint drift since last
+  green (plus ``force_recheck`` entries for cross-module dependency
+  edits the function-source hash can't see), tier 3 = last row failed,
+  tier 4 = everything else, oldest green round first (rotation), ties
+  in registry order. `__spark_entry__._CHECK_PRIORITY` is a verbatim
+  copy of this output; tests/test_green_tripwire.py fails if they
+  drift or if a tier-1/2/3 key falls outside the 50-slot budget.
+- ``--record CORRECTNESS_rNN.json --round N`` folds a driver round's
+  rows back into the state with CURRENT fingerprints (run it at the
+  start of the next round, before editing anything) and clears
+  ``force_recheck`` entries that got a fresh row.
+
+Fingerprints hash the registered function only — helpers and shared
+plumbing (e.g. streaming/source.py) are invisible to it. When editing
+those, add the dependent keys to ``force_recheck`` by hand; the test
+only keeps you honest about keys the hash CAN see.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_to_hyper_app_spark.registry import QuerySpec, load_all  # noqa: E402
+
+STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "green_state.json")
+
+#: the driver's per-round value-check budget
+BUDGET = 50
+
+
+def fingerprint(spec: QuerySpec) -> str:
+    src = inspect.getsource(spec.fn)
+    return hashlib.sha256((src + "\n" + (spec.oracle or "")).encode()).hexdigest()[:16]
+
+
+def load_state() -> dict:
+    if not os.path.exists(STATE_PATH):
+        return {"greens": {}, "force_recheck": []}
+    with open(STATE_PATH) as f:
+        return json.load(f)
+
+
+def save_state(state: dict) -> None:
+    state["greens"] = dict(sorted(state["greens"].items()))
+    state["force_recheck"] = sorted(set(state["force_recheck"]))
+    with open(STATE_PATH, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def priority(specs: dict[str, QuerySpec], state: dict) -> tuple[list[str], dict[str, str]]:
+    """Return (ordered key list, key → tier-reason for tiers 1-3)."""
+    greens: dict = state["greens"]
+    force = set(state["force_recheck"])
+    reason: dict[str, str] = {}
+    tiers: dict[str, list[str]] = {t: [] for t in ("never", "drift", "failed", "rotate")}
+    for key, spec in specs.items():
+        g = greens.get(key)
+        if g is None:
+            tiers["never"].append(key)
+            reason[key] = "never driver-checked"
+        elif g["fingerprint"] != fingerprint(spec) or key in force:
+            tiers["drift"].append(key)
+            reason[key] = (
+                "forced recheck (dependency edit)"
+                if g["fingerprint"] == fingerprint(spec)
+                else "source/oracle edited since last green"
+            )
+        elif g.get("failed"):
+            tiers["failed"].append(key)
+            reason[key] = f"last driver row failed (r{g['round']})"
+        else:
+            tiers["rotate"].append(key)
+    # sort every tier by key name (rotation: round first) — the registry
+    # dict's insertion order depends on which module got imported first
+    # in the current process, so it is NOT stable across entrypoints
+    tiers["never"].sort()
+    tiers["drift"].sort()
+    tiers["failed"].sort()
+    tiers["rotate"].sort(key=lambda k: (greens[k]["round"], k))
+    ordered = tiers["never"] + tiers["drift"] + tiers["failed"] + tiers["rotate"]
+    return ordered, reason
+
+
+def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) -> None:
+    for key, row in rows.items():
+        if key not in specs:
+            continue
+        err = row.get("err")
+        ok_hash = row.get("hash_match") is True
+        ok_weak = err == "no_oracle" and row.get("spark_rows", 0) >= 0
+        failed = not (ok_hash or ok_weak)
+        state["greens"][key] = {
+            "round": round_no,
+            "fingerprint": fingerprint(specs[key]),
+            "weak": bool(ok_weak),
+            "failed": failed,
+        }
+        if key in state["force_recheck"]:
+            state["force_recheck"].remove(key)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", help="CORRECTNESS_rNN.json to fold into green_state")
+    ap.add_argument("--round", type=int, help="round number for --record")
+    ap.add_argument("--force", nargs="*", default=None, help="keys to add to force_recheck")
+    ap.add_argument("--priority", action="store_true", help="print the generated check order")
+    ap.add_argument(
+        "--emit",
+        action="store_true",
+        help="write the generated order to tools/check_priority.json "
+        "(the list __spark_entry__ serves to the driver)",
+    )
+    args = ap.parse_args()
+
+    specs = load_all()
+    state = load_state()
+
+    if args.record:
+        if args.round is None:
+            print("--record requires --round")
+            return 2
+        with open(args.record) as f:
+            rows = json.load(f)
+        record(specs, state, rows, args.round)
+        save_state(state)
+        print(f"recorded {len(rows)} rows into {STATE_PATH}")
+
+    if args.force is not None:
+        state["force_recheck"] = sorted(set(state["force_recheck"]) | set(args.force))
+        save_state(state)
+        print(f"force_recheck = {state['force_recheck']}")
+
+    if args.emit:
+        ordered, reason = priority(specs, state)
+        out = os.path.join(os.path.dirname(STATE_PATH), "check_priority.json")
+        with open(out, "w") as f:
+            json.dump({"order": ordered, "hot": reason}, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {len(ordered)} keys ({len(reason)} hot) to {out}")
+
+    if args.priority or (not args.record and args.force is None and not args.emit):
+        ordered, reason = priority(specs, state)
+        for i, key in enumerate(ordered):
+            tag = reason.get(key, "")
+            mark = "*" if i < BUDGET else " "
+            print(f"{mark} {i + 1:3d} {key}" + (f"  [{tag}]" if tag else ""))
+        n_hot = len(reason)
+        print(f"\n{n_hot} keys need a fresh row; budget {BUDGET}", file=sys.stderr)
+        if n_hot > BUDGET:
+            print("WARNING: hot keys exceed the driver budget", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
