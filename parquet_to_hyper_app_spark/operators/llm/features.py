@@ -17,6 +17,7 @@ from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.operators.llm.similarity import (
     _N_QUERIES,
     bucket_topk,
+    enforce_recall_floor,
     with_recall_audit,
 )
 from parquet_to_hyper_app_spark.registry import query
@@ -160,7 +161,9 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries probe only their own centroid's inverted list, exact cosine
     within the list. Scanned fraction ≈ 1/k; every output row carries
     its query's ``recall_at_k`` vs the exact brute-force top-k
-    (audited in-query, floor asserted in tests). At 100 TB the
+    (audited in-query, floor asserted in tests AND enforced in-query —
+    mean recall below RECALL_FLOOR empties the result so the driver's
+    row count reds). At 100 TB the
     centroid assignment is one broadcast-model map pass and lists are
     written bucketed by centroid_id."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -172,7 +175,9 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), "centroid_id"
     )
     approx = bucket_topk(cand, q, "centroid_id")
-    return with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
+    audited = with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
+    # mean recall below the floor empties the result → red driver row
+    return enforce_recall_floor(audited)
 
 
 @query(

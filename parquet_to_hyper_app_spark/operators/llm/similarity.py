@@ -166,6 +166,33 @@ def with_recall_audit(
     )
 
 
+#: minimum mean recall@k an ANN path must deliver; below it the query
+#: returns ZERO rows so even a rows-only driver check turns red
+RECALL_FLOOR = 0.1
+
+
+def enforce_recall_floor(audited: DataFrame, floor: float = RECALL_FLOOR) -> DataFrame:
+    """Fail LOUDLY when an approximate search degrades: if the mean
+    per-query ``recall_at_k`` falls below ``floor``, emit an EMPTY
+    frame instead of plausible-looking garbage. The rows-only driver
+    check can't value-check an ANN result, but it does record the row
+    count — an empty result is a visible red, a quietly-wrong top-k is
+    not. The mean is a 1-row broadcast onto the (tiny, ≤ queries·k)
+    result; per-query recall weights each query equally regardless of
+    how many of its k rows survived."""
+    mean = (
+        audited.select("q_id", "recall_at_k")
+        .distinct()
+        .groupBy()
+        .agg(F.avg("recall_at_k").alias("__mean_recall"))
+    )
+    return (
+        audited.crossJoin(F.broadcast(mean))
+        .filter(F.col("__mean_recall") >= floor)
+        .drop("__mean_recall")
+    )
+
+
 def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id of a double-array column against fixed planes."""
     bucket = F.lit(0)
@@ -183,8 +210,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈1/16 of candidates scanned). Approximate by construction, so no
     SQL oracle; instead every output row carries its query's
     ``recall_at_k`` vs the exact brute-force top-k (audited in-query,
-    floor asserted in tests), and the bucketing is deterministic
-    (seeded planes)."""
+    floor asserted in tests AND enforced in-query: mean recall below
+    RECALL_FLOOR empties the result, so the driver's row count reds),
+    and the bucketing is deterministic (seeded planes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     bits = 4
     planes = _hyperplanes(embedding_dim_for(spark, sf_dir), bits=bits)
@@ -205,4 +233,5 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("bucket")
     )
     approx = bucket_topk(cand, q, "bucket")
-    return with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
+    audited = with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
+    return enforce_recall_floor(audited)

@@ -99,6 +99,39 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_incremental_agg(spark, raw, ckpt, out_dir)
 
 
+def merge_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One epoch of the incremental rollup: fold the batch's partial
+    aggregate into the latest EARLIER snapshot and write snap_<epoch>.
+
+    Module-level (not a closure) so tests can replay an epoch directly:
+    merging only with snapshots from STRICTLY earlier epochs makes a
+    replay idempotent — if this epoch is re-delivered after its own
+    snapshot write succeeded (crash between snapshot write and
+    checkpoint commit), snap_<epoch_id> already contains this batch,
+    and merging with it would double-count.
+    """
+    import glob as _g
+
+    part = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    prior = sorted(
+        p
+        for p in _g.glob(os.path.join(out_dir, "snap_*"))
+        if int(p.rsplit("_", 1)[1]) < epoch_id
+    )
+    if prior:
+        prev = batch_df.sparkSession.read.parquet(prior[-1])
+        part = (
+            part.unionByName(prev)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+        )
+    # snapshot keyed by epoch: a replayed batch overwrites itself
+    part.write.mode("overwrite").parquet(os.path.join(out_dir, f"snap_{epoch_id:012d}"))
+
+
 def run_incremental_agg(
     spark: SparkSession, raw: DataFrame, ckpt: str, out_dir: str
 ) -> DataFrame:
@@ -107,36 +140,11 @@ def run_incremental_agg(
     from the registry query so tests can feed a multi-file source with
     maxFilesPerTrigger=1 and prove the per-epoch merge is genuinely
     incremental (>1 snapshot, same final table)."""
+    import functools
     import glob as _g
 
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        part = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        )
-        # merge only with snapshots from STRICTLY EARLIER epochs: if this
-        # epoch is replayed after its own snapshot write succeeded (crash
-        # between snapshot write and checkpoint commit), snap_<epoch_id>
-        # already contains this batch — merging with it would double-count
-        prior = sorted(
-            p
-            for p in _g.glob(os.path.join(out_dir, "snap_*"))
-            if int(p.rsplit("_", 1)[1]) < epoch_id
-        )
-        if prior:
-            prev = batch_df.sparkSession.read.parquet(prior[-1])
-            part = (
-                part.unionByName(prev)
-                .groupBy("event_type")
-                .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
-            )
-        # snapshot keyed by epoch: a replayed batch overwrites itself
-        part.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"snap_{epoch_id:012d}")
-        )
-
     q = (
-        raw.writeStream.foreachBatch(merge_batch)
+        raw.writeStream.foreachBatch(functools.partial(merge_epoch, out_dir=out_dir))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

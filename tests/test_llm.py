@@ -132,6 +132,49 @@ def test_real_decode_is_stubbed():
         next(decode_image(iter([])))
 
 
+def test_recall_floor_fails_loudly(spark):
+    """A degraded quantizer must EMPTY the ANN result (red row-count at
+    the driver), not emit plausible garbage; a healthy one must pass
+    rows through unchanged."""
+    from pyspark.sql import Row
+
+    from parquet_to_hyper_app_spark.operators.llm.similarity import (
+        enforce_recall_floor,
+    )
+
+    rows = [
+        Row(q_id=q, neighbor_id=n, cos_sim=0.5, rank=n + 1, recall_at_k=0.0)
+        for q in range(3)
+        for n in range(3)
+    ]
+    degraded = spark.createDataFrame(rows)
+    assert enforce_recall_floor(degraded).count() == 0
+    healthy = degraded.withColumn("recall_at_k", F.lit(1.0))
+    assert enforce_recall_floor(healthy).count() == degraded.count()
+    # end-to-end: a quantizer whose query probes never match any
+    # candidate bucket produces an empty audited frame, which stays
+    # empty through the floor (vacuously red at the driver)
+    from parquet_to_hyper_app_spark.operators.llm.similarity import (
+        bucket_topk,
+        with_recall_audit,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cand = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.lit(0).alias("bucket")
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("ea"), F.lit(1).alias("bucket")
+    )
+    broken = with_recall_audit(
+        bucket_topk(cand, q, "bucket"), emb, emb.filter(F.col("vec_id") < 10)
+    )
+    assert enforce_recall_floor(broken).count() == 0
+
+
 def test_kmeans_ivf_recall(spark):
     from parquet_to_hyper_app_spark.operators.llm.features import similarity_kmeans_ivf
 

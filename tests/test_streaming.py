@@ -114,6 +114,37 @@ def test_incremental_agg_is_truly_incremental(spark, tmp_path):
     assert g == w
 
 
+def test_incremental_agg_replay_cannot_double_count(spark, tmp_path):
+    """An epoch re-delivered AFTER its own snapshot write succeeded
+    (crash between snapshot write and checkpoint commit) must merge
+    only with strictly earlier snapshots — replaying it leaves the
+    final table identical, never doubled."""
+    import glob
+    import os
+
+    from parquet_to_hyper_app_spark.streaming.sinks import merge_epoch
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out_dir = str(tmp_path / "snaps")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    merge_epoch(b0, 0, out_dir)
+    merge_epoch(b1, 1, out_dir)
+    final = sorted(glob.glob(os.path.join(out_dir, "snap_*")))[-1]
+    before = {
+        r.event_type: (r.n_events, r.cents)
+        for r in spark.read.parquet(final).collect()
+    }
+    merge_epoch(b1, 1, out_dir)  # replay epoch 1 with snap_1 on disk
+    after = {
+        r.event_type: (r.n_events, r.cents)
+        for r in spark.read.parquet(final).collect()
+    }
+    assert after == before
+    total = sum(n for n, _ in after.values())
+    assert total == ev.count()
+
+
 def test_stream_ts_unit_matches_batch_catalog(spark):
     """Pin the round-2 regression: the file-stream source must deliver
     event timestamps in the SAME unit the batch catalog resolves to —
