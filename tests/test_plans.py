@@ -35,6 +35,10 @@ BNLJ_ALLOWED = {
     # scale. Rewriting as a join would add a shuffle for nothing.
     "tpch_q11",
     "tpch_q22",
+    # exact TF-IDF attaches the 1-row corpus document count to the
+    # per-(doc,term) TF table — the same scalar-subquery shape as
+    # Q11/Q22: one broadcast row probed O(n), no shuffle
+    "text_tfidf",
 }
 #: side-effecting / streaming queries excluded from pure-plan checks
 SKIP = {"stream_watermark_late", "convert_sink", "convert_sink_events"}
