@@ -185,6 +185,19 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     qname = f"ddw_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
+    from parquet_to_hyper_app_spark.catalog import load_table
+
+    return run_dedup_watermark(raw, qname, ckpt, load_table(spark, sf_dir, "events"))
+
+
+def run_dedup_watermark(
+    raw: DataFrame, qname: str, ckpt: str, events_batch: DataFrame
+) -> DataFrame:
+    """Drive the bounded-state dedup over any events-schema stream and
+    project the engine-comparable result (see `stream_dedup_watermark`).
+    Separated from the registry query so tests can feed a multi-file
+    source with maxFilesPerTrigger=1 and prove the oracle equivalence
+    survives keys re-emitted after watermark state eviction."""
     stream = (
         raw.select(
             "user_id",
@@ -199,12 +212,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(stream, qname, ckpt, "append")
     # the retained row per key is arrival-order-dependent; the stable,
     # engine-comparable projection is the key + its min event time
-    from parquet_to_hyper_app_spark.catalog import load_table
-
-    mins = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id", "event_type")
-        .agg(F.min("ts").alias("first_seen"))
+    mins = events_batch.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_seen")
     )
     # distinct() keeps the oracle equivalence even if the source runs
     # multi-batch (maxFilesPerTrigger): a key re-emitted after watermark

@@ -132,6 +132,43 @@ def test_real_decode_is_stubbed():
         next(decode_image(iter([])))
 
 
+def test_tfidf_edge_docs_match_oracle(spark, tmp_path):
+    """Cross-engine differential on tokenization edge cases the sf
+    corpora don't contain: empty text, whitespace-only text, runs of
+    spaces/tabs, leading/trailing whitespace, repeated terms. Spark's
+    split+filter and DuckDB's string_split_regex+list_filter must
+    agree on token counts AND the top-weighted term."""
+    import duckdb
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    spec = load_all()["text_tfidf"]
+    docs = [
+        (0, ""),
+        (1, "   "),
+        (2, "alpha  beta\talpha"),
+        (3, "  beta gamma "),
+        (4, "Gamma GAMMA gamma"),
+        (5, "solo"),
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.top_term, r.top_weight)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (0, "", 0.0) and got[1] == (0, "", 0.0)
+    assert got[2][0] == 3 and got[4] == (3, "gamma", got[4][2])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {row[0]: (row[1], row[2], row[3]) for row in con.execute(spec.oracle).fetchall()}
+    assert got == want
+
+
 def test_recall_floor_fails_loudly(spark):
     """A degraded quantizer must EMPTY the ANN result (red row-count at
     the driver), not emit plausible garbage; a healthy one must pass

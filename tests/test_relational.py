@@ -49,6 +49,34 @@ def test_approx_percentile_audit(spark):
         assert r.exact_p50 <= r.exact_p90
 
 
+def test_histogram_degenerate_range_matches_oracle(spark, tmp_path):
+    """An all-equal column makes hi == lo: Spark would NULL the bucket
+    (0/0) while DuckDB yields inf/NaN — both sides must instead map the
+    degenerate distribution to one bucket 0 (cross-engine differential
+    on a constant-column fixture)."""
+    import duckdb
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    spec = load_all()["agg_histogram"]
+    spark.createDataFrame([(42.5,)] * 7, "l_extendedprice double").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = spec.fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bucket == 0 and r.n == 7
+    assert r.bucket_lo == r.bucket_hi == 42.5
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    oracle = con.execute(spec.oracle).fetchall()
+    assert len(oracle) == 1
+    assert (r.bucket, r.bucket_lo, r.bucket_hi, r.n) == oracle[0]
+
+
 def test_range_join_matches_naive(spark):
     """Bucketed range join == naive O(n²) non-equi join on a sample."""
     got = {(r.a_id, r.b_id) for r in join_range(spark, SF_SMOKE).collect()}

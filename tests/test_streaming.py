@@ -145,6 +145,47 @@ def test_incremental_agg_replay_cannot_double_count(spark, tmp_path):
     assert total == ev.count()
 
 
+def test_dedup_watermark_multibatch_stays_oracle_equivalent(spark, tmp_path):
+    """Keys re-emitted after watermark state eviction (possible once the
+    source runs multiple micro-batches) must not duplicate rows through
+    the first-seen join — the emitted key set is deduped before the
+    join, so the result equals the batch GROUP BY regardless of
+    micro-batch layout."""
+    from parquet_to_hyper_app_spark.streaming.sinks import run_dedup_watermark
+    from parquet_to_hyper_app_spark.streaming.source import RAW_EVENTS_SCHEMA
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    # 4 single-file micro-batches; each key's events scatter across them
+    ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(4).write.parquet(src)
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    import uuid
+
+    qname = f"ddw_test_{uuid.uuid4().hex[:8]}"
+    got = run_dedup_watermark(raw, qname, str(tmp_path / "ckpt"), ev)
+    rows = got.collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate keys leaked through the join"
+    want = {
+        (r.user_id, r.event_type): r.first_seen
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_seen"))
+        .collect()
+    }
+    assert {(r.user_id, r.event_type): r.first_seen for r in rows} == want
+
+
 def test_stream_ts_unit_matches_batch_catalog(spark):
     """Pin the round-2 regression: the file-stream source must deliver
     event timestamps in the SAME unit the batch catalog resolves to —
