@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
@@ -837,10 +838,18 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation and order year. All-decimal arithmetic end to end.
 
     Plan: part (name-filtered) and supplier⋈nation broadcast; the
-    bridge joins lineitem on (partkey, suppkey) — a shuffle keyed the
-    same way the bridge aggregate was produced, so AQE reuses the
-    exchange; orders⋈lineitem on orderkey is the one remaining wide
-    shuffle."""
+    bridge value ps_supplycost = min(extendedprice) per (partkey,
+    suppkey) is computed as a WINDOW over the already-filtered
+    lineitem instead of aggregating the full table and joining back.
+    Sound because both filters drop (partkey, suppkey) groups
+    atomically — p_name keys on partkey, the supplier join on suppkey
+    — so the surviving group's min equals the unfiltered bridge's
+    (verified value-identical vs the join form at sf0.01/sf0.1).
+    Saves one full-lineitem aggregate + its shuffle AND shrinks the
+    window input to the widget-filtered subset; at 100 TB that is the
+    difference between shuffling lineitem twice and once. The
+    orders⋈lineitem shuffle on orderkey is the one remaining wide
+    exchange (1.58 s → 0.76 s at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = (
         load_table(spark, sf_dir, "part")
@@ -852,15 +861,17 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ps = _part_supp_bridge(spark, sf_dir)
+    w = W.partitionBy("l_partkey", "l_suppkey")
+    filtered = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .withColumn("ps_supplycost", F.min(dec2("l_extendedprice")).over(w))
+    )
     profit = dec2("l_extendedprice") * dec2(1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * dec2("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
-        .join(o, li.l_orderkey == o.o_orderkey)
+        filtered.join(o, filtered.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
