@@ -21,7 +21,12 @@ pathological one:
 
 Probed keys (the ones whose scale posture is non-trivial):
 dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard,
-dedup_embedding_lsh, join_asof, sessionize.
+dedup_embedding_lsh, join_asof, sessionize — plus the relational
+headline path (tpch_q1, tpch_q9, join_multiway, events_funnel,
+text_ngram_lm): the whole TPC-H star is replicated with every join
+key shifted by the same per-copy offset, so each copy is a disjoint
+coherent sub-database (joins never cross copies) and nation/region
+stay fixed, exactly as bounded dims do at real scale.
 """
 
 from __future__ import annotations
@@ -47,47 +52,58 @@ PROBE_KEYS = [
     "dedup_embedding_lsh",
     "join_asof",
     "sessionize",
+    "tpch_q1",
+    "tpch_q9",
+    "join_multiway",
+    "events_funnel",
+    "text_ngram_lm",
 ]
 
-#: tables the probed keys read
-TABLES = ("documents", "embeddings", "events", "orders")
+#: tables the probed keys read; value = entity-key columns shifted by
+#: copy*1M so each replica is a coherent, join-disjoint sub-database
+#: (None = replicate unshifted). nation/region are NOT replicated —
+#: they are bounded dims (25/5 rows at any real scale factor) and are
+#: copied through once.
+TABLES: dict[str, list[str] | None] = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": None,
+    "region": None,
+}
 
 
 def _replicate(spark: SparkSession, sf_dir: str, out_dir: str, k: int) -> None:
     """Write k disjoint copies of each probe table into out_dir."""
     os.makedirs(out_dir, exist_ok=True)
-    for name in TABLES:
+    for name, shift_cols in TABLES.items():
         src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if shift_cols is None:  # bounded dim: pass through once
+            src.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+            continue
         copies = []
         for c in range(k):
             df = src
-            if name == "documents":
-                shift = F.lit(c) * F.lit(1_000_000)
-                df = df.withColumn("doc_id", F.col("doc_id") + shift)
-                if c > 0:
-                    df = df.withColumn(
-                        "text", F.regexp_replace("text", r"(\S+)", f"c{c}_$1")
-                    )
-            elif name == "embeddings":
-                df = df.withColumn("vec_id", F.col("vec_id") + F.lit(c) * F.lit(1_000_000))
-                if c > 0:
-                    d = len(src.select("embedding").first()[0])
-                    r = c % d
-                    df = df.withColumn(
-                        "embedding",
-                        F.concat(
-                            F.slice("embedding", r + 1, d - r), F.slice("embedding", 1, r)
-                        ),
-                    )
-            elif name == "events":
-                shift = F.lit(c) * F.lit(1_000_000)
-                df = df.withColumn("event_id", F.col("event_id") + shift).withColumn(
-                    "user_id", F.col("user_id") + shift
+            shift = F.lit(c) * F.lit(1_000_000)
+            for col in shift_cols:
+                df = df.withColumn(col, F.col(col) + shift)
+            if name == "documents" and c > 0:
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"c{c}_$1")
                 )
-            elif name == "orders":
-                shift = F.lit(c) * F.lit(1_000_000)
-                df = df.withColumn("o_orderkey", F.col("o_orderkey") + shift).withColumn(
-                    "o_custkey", F.col("o_custkey") + shift
+            elif name == "embeddings" and c > 0:
+                d = len(src.select("embedding").first()[0])
+                r = c % d
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", r + 1, d - r), F.slice("embedding", 1, r)
+                    ),
                 )
             copies.append(df)
         out = copies[0]
