@@ -376,8 +376,13 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
     pairs = (
-        docs.select(tk.alias("tk"))
-        .filter(F.size("tk") >= 2)
+        # ≥2-token row filter expressed on the RAW text (internal
+        # whitespace after trim) so filter pushdown can't inline the
+        # tokenize expression into the Filter node and evaluate it
+        # twice per row (see ngram_jaccard_pairs for the 16× version
+        # of the same trap)
+        docs.filter(F.trim(F.col("text")).rlike(r"\s"))
+        .select(tk.alias("tk"))
         .select(
             F.explode(
                 F.expr(
