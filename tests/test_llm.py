@@ -384,3 +384,48 @@ def test_embedding_quantize_bounds(spark):
     # unless truncation shaved an ulp: allow 126
     weak = q.filter((F.col("q_max") < 126) & (F.col("q_min") > -126)).count()
     assert weak == 0
+
+
+def test_ngram_jaccard_edge_docs_match_oracle(spark, tmp_path):
+    """Cross-engine differential for the trim-based empty-doc row
+    filter in ngram_jaccard_pairs: size(bigrams) > 0 was replaced with
+    trim(text) != '' (scan-pushable, no tokenizer inlining into the
+    Filter node), and the two must stay row-equivalent on the docs the
+    sf corpora don't contain — empty, whitespace-only, single-token,
+    and identical single-token pairs (whose lone 'tok ' pseudo-bigram
+    both engines must build the same way)."""
+    import duckdb
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    spec = load_all()["dedup_ngram_jaccard"]
+    docs = [
+        (0, "en", ""),
+        (1, "en", "  \t "),
+        (2, "en", "solo"),
+        (3, "en", "solo"),  # identical single-token pair -> J = 1.0
+        (4, "en", "alpha beta gamma delta"),
+        (5, "en", "alpha beta gamma epsilon"),  # 2/4 shared bigrams
+        (6, "de", "alpha beta gamma delta"),  # other lang: never paired
+        (7, "en", "  alpha   beta\tgamma  delta "),  # ws-normalized dup of 4
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    # planted truths: the ws-dup and the single-token twins at J=1.0;
+    # 4-5 share bigrams {alpha beta, beta gamma} of 4 total -> J=0.5
+    assert got[(4, 7)] == 1.0 and got[(2, 3)] == 1.0 and got[(4, 5)] == 0.5
+    assert not any(6 in p for p in got)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (row[0], row[1]): round(row[2], 9) for row in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
