@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric
 from parquet_to_hyper_app_spark.registry import query
-from parquet_to_hyper_app_spark.streaming.source import events_file_stream
+from parquet_to_hyper_app_spark.streaming.source import (
+    events_file_stream,
+    stream_shuffle_scope,
+)
 
 #: the sink persists the stream's source-normalized int64-µs ts; the
 #: re-read restores the oracle-comparable naive timestamp (no division
@@ -47,13 +50,14 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"epoch_{epoch_id}")
         )
 
-    q = (
-        raw.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            raw.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # an empty/missing source produces zero epochs — no epoch_* dirs —
     # and the glob read would raise an unrelated PATH_NOT_FOUND; return
     # an empty frame with the sink schema instead
@@ -143,13 +147,14 @@ def run_incremental_agg(
     import functools
     import glob as _g
 
-    q = (
-        raw.writeStream.foreachBatch(functools.partial(merge_epoch, out_dir=out_dir))
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            raw.writeStream.foreachBatch(functools.partial(merge_epoch, out_dir=out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     snaps = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
     if not snaps:
         return spark.createDataFrame(

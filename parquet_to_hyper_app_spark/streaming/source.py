@@ -24,11 +24,37 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.session import ensure_session_configs
+
+#: state-store partition count for the LOCAL availableNow harness.
+#: Stateful operators create one state store per shuffle partition per
+#: micro-batch; at the driver-contract scale that fixed cost dominates
+#: (stream_stream_join: 8.2 s at 32 partitions vs 2.6 s at 8 for the
+#: SAME 172 rows at sf0.1). Placement-only — results are partition-count
+#: independent. A production deployment sizes this to the cluster via
+#: spark.sql.shuffle.partitions as usual; override locally with
+#: SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def stream_shuffle_scope(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to the streaming-query value
+    for the duration of one start/awaitTermination cycle (the conf is
+    captured when the query starts), restoring the batch value after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 #: user-supplied stream schema: ts read as raw int64 (unit detected below)
 RAW_EVENTS_SCHEMA = (
@@ -114,13 +140,14 @@ def run_to_memory(stream: DataFrame, qname: str, ckpt: str, output_mode: str) ->
     """Drive a streaming DataFrame to completion into a memory sink
     (availableNow) and return the sink table. One definition of the
     writeStream boilerplate for every streaming query."""
-    q = (
-        stream.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(stream.sparkSession):
+        q = (
+            stream.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream.sparkSession.table(qname)
