@@ -376,12 +376,15 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
     pairs = (
-        # ≥2-token row filter expressed on the RAW text (internal
-        # whitespace after trim) so filter pushdown can't inline the
-        # tokenize expression into the Filter node and evaluate it
-        # twice per row (see ngram_jaccard_pairs for the 16× version
-        # of the same trap)
-        docs.filter(F.trim(F.col("text")).rlike(r"\s"))
+        # ≥2-token row filter expressed on the RAW text so filter
+        # pushdown can't inline the tokenize expression into the
+        # Filter node and evaluate it twice per row (see
+        # ngram_jaccard_pairs for the 16× version of the same trap).
+        # \S\s+\S ⟺ two maximal \S+ runs ⟺ size(tk) >= 2 — NOT
+        # trim()-based: Spark's trim strips spaces only, so a
+        # 'hello\n' doc would slip a 1-token row through and
+        # sequence(1, size-1) would run descending into NULL bigrams
+        docs.filter(F.col("text").rlike(r"\S\s+\S"))
         .select(tk.alias("tk"))
         .select(
             F.explode(

@@ -314,16 +314,17 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     prefix-filter scheme and its losslessness proof. Reused by the
     cluster assignment and the oracle-checked full pipeline."""
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
-    # Empty-doc row filter runs on trim(text) != '' BEFORE the bigram
-    # expression exists: after the empty-string element filter below,
-    # bigrams is empty exactly when the token list is, i.e. when the
-    # trimmed text is '' (split('') = ['']). Filtering on the derived
+    # Empty-doc row filter runs on the RAW text BEFORE the bigram
+    # expression exists: rlike(\S) ⟺ at least one token ⟺ bigrams
+    # non-empty after the empty-string element filter below (trim()
+    # would be wrong here — Spark's trim strips spaces only, keeping
+    # tab/newline-only docs). Filtering on the derived
     # size(bigrams) > 0 instead inlines the WHOLE tokenize+bigram+
     # distinct expression into the Filter node (Catalyst collapses the
     # projections), evaluating it twice per row outside codegen's
     # subexpression reuse — measured 6.0 s vs 0.36 s for this stage at
-    # sf0.1. Cheap predicate first; it also pushes to the parquet scan.
-    grams = docs.filter(F.trim(F.col("text")) != "").withColumn("__toks", toks).select(
+    # sf0.1. Cheap predicate first.
+    grams = docs.filter(F.col("text").rlike(r"\S")).withColumn("__toks", toks).select(
         "doc_id",
         "lang",
         F.expr(
@@ -333,8 +334,9 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     )
     # empty/whitespace-only docs: Spark's concat_ws over a missing token
     # yields bigrams=[''] where the oracle's NULL-dropping list_distinct
-    # yields [] — normalize to [] (rows are already gone via the trim
-    # filter; this keeps per-element parity for single-token docs)
+    # yields [] — normalize to [] (zero-token rows are already gone via
+    # the rlike filter; this keeps per-element parity for whitespace
+    # edge docs, so every surviving row has n >= 1)
     # hash each distinct bigram ONCE per doc: candidate generation and
     # the per-pair verify both run on int64s; string bytes are never
     # rescanned per pair (that rescan alone cost 97s at sf0.1)

@@ -28,7 +28,7 @@ from parquet_to_hyper_app_spark.registry import query
     oracle=r"""
     WITH docs AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'),
+               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -70,9 +70,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any vocab size.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text degrades to the empty doc in BOTH engines: without the
+    # coalesce, Spark's size(NULL toks) is -1 (ansi off) while the
+    # oracle's len(NULL) is SQL NULL — a latent cross-engine divergence
+    # on any future corpus containing NULL texts
     toks = docs.select(
         "doc_id",
-        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "").alias("toks"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        ).alias("toks"),
     )
     tok = toks.select("doc_id", F.explode("toks").alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -175,9 +182,11 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), "centroid_id"
     )
     approx = bucket_topk(cand, q, "centroid_id")
-    audited = with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
-    # mean recall below the floor empties the result → red driver row
-    return enforce_recall_floor(audited)
+    panel = emb.filter(F.col("vec_id") < _N_QUERIES)
+    audited = with_recall_audit(approx, emb, panel)
+    # mean recall over the FULL panel below the floor empties the
+    # result → red driver row
+    return enforce_recall_floor(audited, panel)
 
 
 @query(

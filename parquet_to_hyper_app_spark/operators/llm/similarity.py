@@ -171,20 +171,37 @@ def with_recall_audit(
 RECALL_FLOOR = 0.1
 
 
-def enforce_recall_floor(audited: DataFrame, floor: float = RECALL_FLOOR) -> DataFrame:
+def enforce_recall_floor(
+    audited: DataFrame, queries: DataFrame, floor: float = RECALL_FLOOR
+) -> DataFrame:
     """Fail LOUDLY when an approximate search degrades: if the mean
     per-query ``recall_at_k`` falls below ``floor``, emit an EMPTY
     frame instead of plausible-looking garbage. The rows-only driver
     check can't value-check an ANN result, but it does record the row
     count — an empty result is a visible red, a quietly-wrong top-k is
-    not. The mean is a 1-row broadcast onto the (tiny, ≤ queries·k)
-    result; per-query recall weights each query equally regardless of
-    how many of its k rows survived."""
-    mean = (
+    not.
+
+    The mean is taken over the FULL query panel (``queries``), with
+    queries that produced no result rows counted as recall 0 — the
+    dominant ANN degradation mode is a bucket/centroid matching no
+    candidates at all, and a mean over only the answered queries would
+    let a quantizer that answers 1 of 10 queries perfectly sail past
+    the floor. Both the recall sum and the panel count are 1-row
+    broadcasts onto the (tiny, ≤ queries·k) result."""
+    n_q = queries.groupBy().agg(F.count(F.lit(1)).alias("__n_q"))
+    tot = (
         audited.select("q_id", "recall_at_k")
         .distinct()
         .groupBy()
-        .agg(F.avg("recall_at_k").alias("__mean_recall"))
+        .agg(F.sum("recall_at_k").alias("__sum_recall"))
+    )
+    mean = (
+        tot.crossJoin(F.broadcast(n_q))
+        .select(
+            (
+                F.coalesce(F.col("__sum_recall"), F.lit(0.0)) / F.col("__n_q")
+            ).alias("__mean_recall")
+        )
     )
     return (
         audited.crossJoin(F.broadcast(mean))
@@ -233,5 +250,6 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("bucket")
     )
     approx = bucket_topk(cand, q, "bucket")
-    audited = with_recall_audit(approx, emb, emb.filter(F.col("vec_id") < _N_QUERIES))
-    return enforce_recall_floor(audited)
+    panel = emb.filter(F.col("vec_id") < _N_QUERIES)
+    audited = with_recall_audit(approx, emb, panel)
+    return enforce_recall_floor(audited, panel)

@@ -94,9 +94,13 @@ def _ts_micros_scale(
         )
         ts = row[0] if row is not None else None
         if ts is None:
-            raise ValueError(
-                f"cannot detect ts unit: no non-null ts values in {src_dir}"
-            )
+            # empty source / all-NULL ts: there is nothing to convert,
+            # so the identity scale is correct — the stream runs and
+            # produces zero epochs, which the sinks explicitly handle
+            # (raising here would turn a handled empty result into a
+            # query error). Not cached: a first batch arriving later
+            # should get a real magnitude probe.
+            return (1, 1)
         if ts > 3 * 10**16:
             scale = (1_000, 1)  # nanoseconds
         elif ts > 3 * 10**13:

@@ -150,6 +150,7 @@ def test_tfidf_edge_docs_match_oracle(spark, tmp_path):
         (3, "  beta gamma "),
         (4, "Gamma GAMMA gamma"),
         (5, "solo"),
+        (6, None),  # NULL text degrades to the empty doc in both engines
     ]
     spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
         str(tmp_path / "documents.parquet")
@@ -159,6 +160,7 @@ def test_tfidf_edge_docs_match_oracle(spark, tmp_path):
         for r in spec.fn(spark, str(tmp_path)).collect()
     }
     assert got[0] == (0, "", 0.0) and got[1] == (0, "", 0.0)
+    assert got[6] == (0, "", 0.0)
     assert got[2][0] == 3 and got[4] == (3, "gamma", got[4][2])
     con = duckdb.connect()
     con.execute(
@@ -185,9 +187,15 @@ def test_recall_floor_fails_loudly(spark):
         for n in range(3)
     ]
     degraded = spark.createDataFrame(rows)
-    assert enforce_recall_floor(degraded).count() == 0
+    panel3 = spark.createDataFrame([Row(vec_id=q) for q in range(3)])
+    assert enforce_recall_floor(degraded, panel3).count() == 0
     healthy = degraded.withColumn("recall_at_k", F.lit(1.0))
-    assert enforce_recall_floor(healthy).count() == degraded.count()
+    assert enforce_recall_floor(healthy, panel3).count() == degraded.count()
+    # the mean is over the FULL query panel: a quantizer that answers
+    # only 3 of 40 queries (perfect recall on those) must still fail —
+    # unanswered queries count as recall 0, not as absent
+    panel40 = spark.createDataFrame([Row(vec_id=q) for q in range(40)])
+    assert enforce_recall_floor(healthy, panel40).count() == 0
     # end-to-end: a quantizer whose query probes never match any
     # candidate bucket produces an empty audited frame, which stays
     # empty through the floor (vacuously red at the driver)
@@ -209,7 +217,7 @@ def test_recall_floor_fails_loudly(spark):
     broken = with_recall_audit(
         bucket_topk(cand, q, "bucket"), emb, emb.filter(F.col("vec_id") < 10)
     )
-    assert enforce_recall_floor(broken).count() == 0
+    assert enforce_recall_floor(broken, emb.filter(F.col("vec_id") < 10)).count() == 0
 
 
 def test_kmeans_ivf_recall(spark):
@@ -408,6 +416,8 @@ def test_ngram_jaccard_edge_docs_match_oracle(spark, tmp_path):
         (5, "en", "alpha beta gamma epsilon"),  # 2/4 shared bigrams
         (6, "de", "alpha beta gamma delta"),  # other lang: never paired
         (7, "en", "  alpha   beta\tgamma  delta "),  # ws-normalized dup of 4
+        (8, "en", "solo\n"),  # trailing newline: 1 token (trim strips spaces only)
+        (9, "en", "\t\t"),  # tab-only: zero tokens, must be dropped
     ]
     spark.createDataFrame(docs, "doc_id bigint, lang string, text string").write.parquet(
         str(tmp_path / "documents.parquet")

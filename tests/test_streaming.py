@@ -204,3 +204,22 @@ def test_stream_ts_unit_matches_batch_catalog(spark):
         load_table(spark, SF_SMOKE, "events").agg(F.min("ts"), F.max("ts")).first()
     )
     assert (s_min, s_max) == (b_min, b_max), (s_min, s_max, b_min, b_max)
+
+
+def test_ts_scale_empty_source_is_identity(spark, tmp_path):
+    """An empty (or all-NULL-ts) events source must yield the identity
+    scale — the stream then runs and produces zero epochs, which the
+    sinks handle; raising would turn a handled empty result into a
+    query error. The probe result is also NOT cached, so a first batch
+    arriving later gets a real magnitude detection."""
+    from parquet_to_hyper_app_spark.streaming.source import (
+        _TS_SCALE_CACHE,
+        RAW_EVENTS_SCHEMA,
+        _ts_micros_scale,
+    )
+
+    src = str(tmp_path / "empty_events")
+    spark.createDataFrame([], RAW_EVENTS_SCHEMA).write.parquet(src)
+    key = "test-empty-src"
+    assert _ts_micros_scale(spark, src, key) == (1, 1)
+    assert key not in _TS_SCALE_CACHE

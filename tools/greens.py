@@ -107,7 +107,11 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
             continue
         err = row.get("err")
         ok_hash = row.get("hash_match") is True
-        ok_weak = err == "no_oracle" and row.get("spark_rows", 0) >= 0
+        # a weak (rows-only) key must produce ROWS to count as green:
+        # zero rows is exactly the red state enforce_recall_floor
+        # engineers for a degraded ANN path, and `>= 0` would have
+        # recorded it as a pass and rotated the key out of priority
+        ok_weak = err == "no_oracle" and row.get("spark_rows", 0) > 0
         failed = not (ok_hash or ok_weak)
         state["greens"][key] = {
             "round": round_no,
