@@ -156,7 +156,14 @@ def test_dedup_watermark_multibatch_stays_oracle_equivalent(spark, tmp_path):
 
     ev = load_table(spark, SF_SMOKE, "events")
     src = str(tmp_path / "src")
-    # 4 single-file micro-batches; each key's events scatter across them
+    # 4 single-file micro-batches in EVENT-TIME order (range-partitioned
+    # on ts; the file source breaks equal-mtime ties by path, and
+    # part-00000..3 match the range order). Time-ordered batches mean no
+    # batch is ever behind the advanced watermark, so no key's FIRST
+    # occurrence can be eviction-dropped (round-robin splits made that a
+    # real race: a late-listed file's keys vanished entirely). Keys
+    # spanning files still re-emit after their state evicts — the
+    # duplication scenario the distinct() guards.
     ev.select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
@@ -164,7 +171,7 @@ def test_dedup_watermark_multibatch_stays_oracle_equivalent(spark, tmp_path):
         "event_type",
         "value",
         "props",
-    ).repartition(4).write.parquet(src)
+    ).repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
     raw = (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
