@@ -51,6 +51,11 @@ HEADLINE = [
     "text_ngram_lm",
     "tpch_q1",
     "tpch_q9",
+    # round-4 additions: the exact near-dup miner (the repo's heaviest
+    # oracled operator, post prefix-filter fixes) and the heaviest
+    # stateful streaming query (post state-partition sizing)
+    "dedup_ngram_jaccard",
+    "stream_stream_join",
 ]
 
 

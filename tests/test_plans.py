@@ -200,3 +200,25 @@ def test_tpch_q17_self_join_copartitioned(spark):
     s = plan_stats(df)
     assert s.shuffles <= 3, s  # partkey x2 + final single-partition agg
     assert s.nested_loop_joins == 0, s
+
+
+def test_q9_window_bridge_is_single_exchange(spark):
+    """Q9's supply cost is a window min over the FILTERED lineitem
+    (not a full-table aggregate joined back): the executed plan must
+    show exactly one (partkey, suppkey) exchange feeding a Window, the
+    final agg exchange, no sort-merge joins, and only one lineitem
+    scan (the bridge form scanned it twice)."""
+    df = load_all()["tpch_q9"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.shuffles <= 2, s  # window partitioning + final agg
+    assert s.sortmerge_joins == 0 and s.nested_loop_joins == 0, s
+    # AQE's toString appends an "== Initial Plan ==" duplicate; count
+    # scans only in the final-plan section above it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" in final
+    li_scans = sum(
+        1 for ln in final.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert li_scans == 1, f"lineitem must scan once, saw {li_scans}"
