@@ -131,9 +131,15 @@ def main() -> int:
         for key in args.keys:
             fn = specs[key].fn
             fn(spark, probe_dir).count()  # warm (codegen, file listing)
-            t0 = time.time()
-            n = fn(spark, probe_dir).count()
-            times[key][k] = time.time() - t0
+            # best-of-3: a single timed run let one GC/broadcast-build
+            # straggler masquerade as a 6x scale blow-up (tpch_q9 at x4
+            # probed 5.0 s once, 1.1-1.6 s on every manual re-run)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                n = fn(spark, probe_dir).count()
+                best = min(best, time.time() - t0)
+            times[key][k] = best
             rows[key][k] = n
 
     s0 = args.scales[0]
