@@ -751,8 +751,30 @@ _PS_SQL = """
 """
 
 
-def _part_supp_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _part_supp_bridge(
+    spark: SparkSession,
+    sf_dir: str,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Surrogate partsupp from lineitem, with optional KEY-ATOMIC
+    pushdown: `part_keys` (column `p_partkey`) / `supp_keys` (column
+    `s_suppkey`) broadcast-semi-join lineitem BEFORE the aggregate, so
+    the bridge shuffles only the rows its consumer will keep. Sound
+    ONLY for filters keyed on partkey/suppkey — they drop whole
+    (partkey, suppkey) groups, leaving every surviving group's
+    min/sum untouched (the q9 window argument). A filter on any other
+    lineitem column (shipdate, quantity, …) would CHANGE the
+    surviving groups' aggregates and must never be pushed here."""
     li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey, "left_semi"
+        )
+    if supp_keys is not None:
+        li = li.join(
+            F.broadcast(supp_keys), li.l_suppkey == supp_keys.s_suppkey, "left_semi"
+        )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -788,11 +810,12 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spec's correlated `= (SELECT min ...)` decorrelates into a
     per-part min aggregate joined back on (partkey, cost-equality) —
-    exact decimals make that equality deterministic. Plan: the
-    supplier→nation→region chain broadcasts into the bridge aggregate;
-    bridge and its per-part min are co-partitioned on partkey (one
-    shuffle, reused by both); part dim broadcasts last."""
-    ps = _part_supp_bridge(spark, sf_dir)
+    exact decimals make that equality deterministic. Plan: BOTH
+    selective dims push below the bridge aggregate as key-atomic
+    semi-joins (size-15 partkeys + EUROPE suppkeys — see
+    _part_supp_bridge), so the bridge shuffles only rows the query
+    keeps; bridge and its per-part min are co-partitioned on partkey
+    (one shuffle, reused by both); part dim broadcasts last."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -800,9 +823,14 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = _part_supp_bridge(
+        spark, sf_dir,
+        part_keys=p.select("p_partkey"),
+        supp_keys=s.select("s_suppkey"),
+    )
     eu = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
     best = eu.groupBy(F.col("ps_partkey").alias("bk")).agg(F.min("ps_supplycost").alias("m"))
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
         eu.join(best, (eu.ps_partkey == best.bk) & (eu.ps_supplycost == best.m))
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
@@ -906,10 +934,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global total is a 1-row aggregate broadcast back over the
     per-part aggregate (the spec's scalar subquery, decorrelated);
     the 0.1% threshold multiplies exact decimals so the HAVING cut is
-    bit-deterministic. Plan: one shuffle for the bridge, one for the
-    per-part rollup (both on partkey → AQE coalesces), broadcast for
-    everything else."""
-    ps = _part_supp_bridge(spark, sf_dir)
+    bit-deterministic. Plan: the ASIA supplier set pushes below the
+    bridge aggregate as a key-atomic semi-join (the bridge shuffles
+    ~1/25 of lineitem), then one shuffle for the per-part rollup
+    (both on partkey → AQE coalesces), broadcast for everything
+    else."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -917,6 +946,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
+    ps = _part_supp_bridge(spark, sf_dir, supp_keys=s)
     scoped = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).select(
         "ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val")
     )
@@ -949,17 +979,18 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type, size) bucket, excluding flagged suppliers (the
     spec's complaint filter becomes negative account balance).
 
-    The NOT IN set is tiny → broadcast left-anti join; part dim
-    broadcasts into the bridge; count(DISTINCT) expands to the
-    two-phase distinct aggregate on the already-partkey-partitioned
-    stream."""
-    ps = _part_supp_bridge(spark, sf_dir)
+    The NOT IN set is tiny → broadcast left-anti join; the filtered
+    part keys push BELOW the bridge aggregate as a key-atomic
+    semi-join (see _part_supp_bridge) so the bridge shuffles only the
+    selected parts' rows; count(DISTINCT) expands to the two-phase
+    distinct aggregate on the already-partkey-partitioned stream."""
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
     )
+    ps = _part_supp_bridge(spark, sf_dir, part_keys=p.select("p_partkey"))
     return (
         ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
@@ -1004,8 +1035,8 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey/suppkey — one exchange feeds both) joined with the
     half-comparison as an exact-decimal residual, then a left-semi
     into the supplier dim. Nothing quadratic, nothing correlated at
-    runtime."""
-    ps = _part_supp_bridge(spark, sf_dir)
+    runtime. The 'small%' part keys push below the bridge aggregate
+    (key-atomic semi-join, see _part_supp_bridge)."""
     li = load_table(spark, sf_dir, "lineitem")
     shipped = (
         li.filter(
@@ -1020,6 +1051,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("small%"))
         .select("p_partkey")
     )
+    ps = _part_supp_bridge(spark, sf_dir, part_keys=small)
     candidates = (
         ps.join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"))
         .join(shipped, (F.col("ps_partkey") == F.col("pk")) & (F.col("ps_suppkey") == F.col("sk")))
