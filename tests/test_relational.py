@@ -115,3 +115,33 @@ def test_filter_project_pushdown(spark):
     assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan
     # column pruning: only the 4 projected columns reach the scan
     assert "l_tax" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_bridge_pushdown_is_key_atomic(spark):
+    """The partsupp bridge's part/supp pushdown must produce EXACTLY
+    the rows of the unfiltered bridge restricted to those keys — the
+    semi-join drops whole (partkey, suppkey) groups, never rows within
+    a surviving group, so every surviving group's min/sum is
+    untouched. Guards the _part_supp_bridge contract that q2/q11/q16/
+    q20 (and q9's window form) rely on."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_hyper_app_spark.operators.tpch import _part_supp_bridge
+
+    full = _part_supp_bridge(spark, SF_SMOKE).cache()
+    part_keys = (
+        full.select(F.col("ps_partkey").alias("p_partkey")).distinct().limit(7)
+    )
+    supp_keys = (
+        full.select(F.col("ps_suppkey").alias("s_suppkey")).distinct().limit(3)
+    )
+    pushed = _part_supp_bridge(
+        spark, SF_SMOKE, part_keys=part_keys, supp_keys=supp_keys
+    )
+    restricted = full.join(
+        F.broadcast(part_keys), full.ps_partkey == part_keys.p_partkey, "left_semi"
+    ).join(F.broadcast(supp_keys), full.ps_suppkey == supp_keys.s_suppkey, "left_semi")
+    a = sorted(map(tuple, pushed.collect()))
+    b = sorted(map(tuple, restricted.collect()))
+    assert a == b and len(a) > 0
+    full.unpersist()
