@@ -129,12 +129,18 @@ def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
     a = bucketed.alias("a")
     b_ = bucketed.alias("b")
-    return (
+    pairs = (
         a.join(b_, ["band_id", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # pinned-width pair dedup (same rationale as ngram_jaccard_pairs):
+    # the pair set is bytes-small, so AQE's size-based coalescing would
+    # shrink the stage feeding the CPU-bound exact-Jaccard verify; an
+    # explicit repartition(P, keys) + dropDuplicates() keeps the ONE
+    # dedup exchange but at full compute width.
+    n_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n_parts, "doc_a", "doc_b").dropDuplicates()
 
 
 def minhash_candidates(docs: DataFrame) -> DataFrame:
@@ -413,8 +419,21 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         )
         .filter(1 + F.least(na - ra, nb - rb) >= F.expr("(n_a + n_b + 2) div 3"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # pair dedup at a PINNED partition width, not `.distinct()`: the
+    # candidate set is small in bytes (two longs/row) but the verify
+    # stage downstream is CPU-bound (array_intersect per pair), and
+    # AQE's size-based coalescing — blind to downstream compute —
+    # squeezed the post-distinct stage to ~6 partitions at sf0.1,
+    # serializing 87M intersect ops on 6 of 32 cores (4.0 s → 2.4 s
+    # measured). repartition(P, keys) + dropDuplicates() is still ONE
+    # exchange (the explicit hash partitioning satisfies the dedup
+    # aggregate's distribution requirement), and a user-specified
+    # partition count is exempt from AQE coalescing, so the verify
+    # inherits full width. At cluster scale P = shuffle.partitions is
+    # operator-sized and candidate volume makes coalescing moot.
+    n_parts = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_parts, "id_a", "id_b").dropDuplicates()
     va = grams.select(
         F.col("doc_id").alias("id_a"), F.col("hashes").alias("h_a"), F.col("n").alias("n_a")
     )
