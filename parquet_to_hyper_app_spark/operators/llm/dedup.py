@@ -129,18 +129,18 @@ def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
     a = bucketed.alias("a")
     b_ = bucketed.alias("b")
-    pairs = (
+    # plain .distinct() here, unlike ngram_jaccard_pairs' pinned-width
+    # dedup: banding keeps the candidate set small BY DESIGN (bucket
+    # cohabitation ≈ near-dup likelihood), so the downstream verify is
+    # cheap and AQE's coalescing is right to shrink it — an interleaved
+    # A/B measured the pinned variant ~0.1 s SLOWER at sf0.1 (idle-task
+    # scheduling with no compute to parallelize).
+    return (
         a.join(b_, ["band_id", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    # pinned-width pair dedup (same rationale as ngram_jaccard_pairs):
-    # the pair set is bytes-small, so AQE's size-based coalescing would
-    # shrink the stage feeding the CPU-bound exact-Jaccard verify; an
-    # explicit repartition(P, keys) + dropDuplicates() keeps the ONE
-    # dedup exchange but at full compute width.
-    n_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return pairs.repartition(n_parts, "doc_a", "doc_b").dropDuplicates()
 
 
 def minhash_candidates(docs: DataFrame) -> DataFrame:
