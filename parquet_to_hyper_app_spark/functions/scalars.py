@@ -237,7 +237,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(list_sum(list_transform(
                embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                 / len(embedding), 6) AS mean_dim
+                 / len(embedding), 6) + 0.0 AS mean_dim
     FROM embeddings
     """,
 )
@@ -267,8 +267,16 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("l2_norm"),
-        F.round(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"),
-            6,
+        # `+ 0.0` collapses IEEE signed zero: a near-zero negative mean
+        # (e.g. a denormal-scale vector) rounds to -0.0 in one engine
+        # and +0.0 in the other; -0.0 + 0.0 = +0.0 in both (caught by
+        # the adversarial-data sweep, tools/fuzz_data.py)
+        (
+            F.round(
+                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("mean_dim"),
     )

@@ -68,24 +68,37 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_agg",
     oracle="""
     SELECT event_id, user_id, ts, value,
-           round(avg(value) OVER w, 6) AS moving_avg,
-           round(sum(value) OVER w, 6) AS moving_sum
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / count(*) OVER w AS moving_avg,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S20: moving average/sum over a 3-row frame per user."""
+    """S20: moving average/sum over a 3-row frame per user.
+
+    The frame sums in exact DECIMAL(18,6) (value quantized at 6 dp),
+    not double: sliding-frame double sums accumulate in engine-specific
+    order (DuckDB's segment tree vs a sequential fold), so the two
+    engines differ in the last ulp and `round(x, 6)` flips at a
+    rounding boundary — the adversarial-data sweep (tools/fuzz_data.py)
+    caught exactly that on an avg straddling .xxxxxx5. The decimal sum
+    is order-independent and exact in both engines; cast to double once
+    and divide by the frame count for the average (same bits → same
+    quotient), no rounding step at all (functions/exact.py rationale).
+    """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
     return ev.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
-        F.round(F.sum("value").over(w), 6).alias("moving_sum"),
+        (s / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+        s.alias("moving_sum"),
     )
 
 

@@ -1,0 +1,311 @@
+"""Adversarial testdata generator for oracle-differential fuzzing.
+
+Generates the same ten tables as the driver testdata
+(FIXTURES.md §A schemas, timestamp[us] like the current generation)
+but with HOSTILE distributions, then the standard parity harness
+(tools/parity.py --sf <dir>) runs every oracle-checked query over them.
+Any Spark/DuckDB divergence on this data is either a real engine-
+semantics bug or an oracle-authoring assumption — both worth surfacing
+before the driver or a user does. The degenerate-histogram-range bug
+class (ADVICE r3: all-equal column ⇒ NULL buckets vs inf/NaN buckets)
+is exactly what this sweep catches mechanically.
+
+Profiles:
+  degenerate (default) — values stay in the domains the oracles assume
+    (clean numerics, known lang/status codes) but every SHAPE is
+    hostile: empty/whitespace/unicode/duplicated text, all-equal
+    columns, heavy key skew, orphan foreign keys, tied and boundary
+    timestamps, zero/negative money, single-member groups.
+  dirty — additionally plants NaN/±Inf/NULL in the columns whose
+    cleaning contract covers them (events.value, acctbals,
+    o_totalprice) plus a zero embedding vector (cosine 0/0) and
+    empty-JSON props rows.
+
+Usage:
+    python tools/fuzz_data.py --out /tmp/fuzz_sf --seed 7 [--profile dirty]
+    python tools/parity.py --sf /tmp/fuzz_sf
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+US = 1_000_000  # microseconds per second
+
+LANGS = ["en", "de", "es", "fr", "zh"]
+SOURCES = [f"src{i}" for i in range(20)]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+WORDS = (
+    "key agg row scan slow fast table value part hash merge batch window "
+    "spark order data column join small line customer query filter the a"
+).split()
+
+
+def ts_us(iso: str) -> int:
+    """ISO date/datetime → int64 epoch microseconds (UTC-naive)."""
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(iso)
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * US)
+
+
+def money(rng: np.random.Generator, n: int, lo: float = 0.0, hi: float = 90000.0):
+    """Exact-cents doubles (decimal-cast-stable in both engines)."""
+    return np.round(rng.uniform(lo, hi, n) * 100) / 100.0
+
+
+def region_table() -> pa.Table:
+    return pa.table(
+        {
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": pa.array(REGIONS),
+        }
+    )
+
+
+def nation_table() -> pa.Table:
+    return pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }
+    )
+
+
+def customer_table(rng, n, dirty) -> pa.Table:
+    acct = money(rng, n, -9999.99, 9999.99)
+    acct[: n // 10] = 0.0  # a tenth of customers sit at exactly zero
+    names = [f"Customer#{i:09d}" for i in range(n)]
+    names[1] = "Customer#000000001"  # duplicate display name, distinct key
+    names[2] = "Cüstömer 中文 🎉"
+    names[3] = ""  # empty-string name
+    seg = [SEGMENTS[i % 5] for i in range(n)]
+    seg[4] = ""  # empty segment value
+    cols = {
+        "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+        "c_name": pa.array(names),
+        "c_nationkey": pa.array([i % 25 for i in range(n)], pa.int32()),
+        "c_acctbal": pa.array(acct),
+        "c_mktsegment": pa.array(seg),
+    }
+    if dirty:
+        a = acct.copy()
+        a[5], a[6] = np.nan, np.inf
+        mask = np.zeros(n, bool)
+        mask[7] = True
+        cols["c_acctbal"] = pa.array(np.where(mask, np.nan, a), mask=mask)
+    return pa.table(cols)
+
+
+def supplier_table(rng, n) -> pa.Table:
+    return pa.table(
+        {
+            "s_suppkey": pa.array(range(1, n + 1), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)]),
+            "s_nationkey": pa.array([i % 25 for i in range(n)], pa.int32()),
+            "s_acctbal": pa.array(money(rng, n, -1000, 11000)),
+        }
+    )
+
+
+def part_table(rng, n) -> pa.Table:
+    brands = [f"Brand#{1 + i % 25}" for i in range(n)]
+    types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    sizes = np.where(np.arange(n) % 3 == 0, 7, rng.integers(1, 50, n))  # heavy mode at 7
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(1, n + 1), pa.int64()),
+            "p_name": pa.array([f"part {WORDS[i % len(WORDS)]} {i}" for i in range(n)]),
+            "p_brand": pa.array(brands),
+            "p_type": pa.array([types[i % 6] for i in range(n)]),
+            "p_size": pa.array(sizes, pa.int32()),
+            # ALL-EQUAL retail price: degenerate (hi == lo) range for any
+            # histogram/bucketing over this column
+            "p_retailprice": pa.array(np.full(n, 1500.00)),
+        }
+    )
+
+
+def orders_table(rng, n, n_cust, dirty) -> pa.Table:
+    # key skew: half of all orders belong to customer 1; a 5% tail are
+    # ORPHANS (custkey beyond the customer table) to exercise outer joins
+    cust = np.where(
+        rng.random(n) < 0.5, 1, rng.integers(1, n_cust + 1, n)
+    ).astype("int64")
+    cust[rng.random(n) < 0.05] = n_cust + 999
+    total = money(rng, n, 0.0, 400000.0)
+    total[0] = 0.0
+    total[1] = -1.23  # negative money survives both engines' sums
+    dates = ts_us("1995-01-01") + rng.integers(0, int(6.6 * 365 * 86400), n) * US
+    dates[0] = ts_us("1970-01-01")  # epoch boundary
+    dates[1] = ts_us("2000-02-29")  # leap day
+    dates[2] = ts_us("1999-12-31T23:59:59")
+    dates[3:13] = ts_us("1996-06-15")  # tied order dates
+    cols = {
+        "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderstatus": pa.array([["O", "F", "P"][i % 3] for i in range(n)]),
+        "o_totalprice": pa.array(total),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array([PRIORITIES[i % 5] for i in range(n)]),
+    }
+    if dirty:
+        mask = np.zeros(n, bool)
+        mask[4] = True
+        cols["o_totalprice"] = pa.array(total, mask=mask)
+    return pa.table(cols)
+
+
+def lineitem_table(rng, n, n_orders, n_parts, n_supp) -> pa.Table:
+    okey = rng.integers(1, n_orders + 1, n).astype("int64")
+    okey[rng.random(n) < 0.03] = n_orders + 777  # orphan order keys
+    qty = rng.integers(1, 51, n).astype("float64")
+    qty[:200] = 25.0  # fat tie block
+    price = money(rng, n, 900.0, 105000.0)
+    disc = np.round(rng.integers(0, 11, n) * 0.01, 2)
+    disc[0] = 0.0
+    disc[1] = 0.1
+    tax = np.round(rng.integers(0, 9, n) * 0.01, 2)
+    ship = ts_us("1995-01-02") + rng.integers(0, int(6.8 * 365 * 86400), n) * US
+    ship[0] = ts_us("1995-01-02")
+    ship[1] = ts_us("2001-11-04")
+    return pa.table(
+        {
+            "l_orderkey": pa.array(okey, pa.int64()),
+            "l_partkey": pa.array(rng.integers(1, n_parts + 1, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(1, n_supp + 1, n), pa.int64()),
+            "l_linenumber": pa.array((np.arange(n) % 7 + 1).astype("int32"), pa.int32()),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(price),
+            "l_discount": pa.array(disc),
+            "l_tax": pa.array(tax),
+            "l_returnflag": pa.array([["A", "N", "R"][i % 3] for i in range(n)]),
+            "l_linestatus": pa.array([["F", "O"][i % 2] for i in range(n)]),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+
+
+def events_table(rng, n, n_users, dirty) -> pa.Table:
+    base = ts_us("2024-01-01")
+    # bursts + ties: sessionization and watermark eviction edges. Users
+    # are skewed (user 1 owns ~30%); timestamps include exact ties and
+    # month-end stragglers.
+    user = np.where(rng.random(n) < 0.3, 1, rng.integers(1, n_users + 1, n)).astype("int64")
+    ts = base + np.sort(rng.integers(0, 30 * 86400, n)) * US
+    ts[10:20] = ts[10]  # ten events at the identical microsecond
+    ts[-1] = base + (30 * 86400 - 1) * US
+    val = np.round(rng.uniform(0, 500, n), 6)
+    val[:50] = 42.0  # all-equal block (zscore/stddev degenerate window)
+    props = [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)]
+    props[0] = '{"k": 0}'
+    cols = {
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array([EVENT_TYPES[i % 5] for i in range(n)]),
+        "value": pa.array(val),
+        "props": pa.array(props),
+    }
+    if dirty:
+        v = val.copy()
+        v[1], v[2] = np.inf, -np.inf
+        mask = np.zeros(n, bool)
+        mask[3] = True
+        cols["value"] = pa.array(v, mask=mask)
+        props[4] = "{}"
+        cols["props"] = pa.array(props)
+    return pa.table(cols)
+
+
+def documents_table(rng, n) -> pa.Table:
+    texts: list[str] = []
+    for i in range(n):
+        k = rng.integers(3, 40)
+        texts.append(" ".join(WORDS[j % len(WORDS)] for j in rng.integers(0, len(WORDS), k)))
+    texts[0] = ""  # empty doc
+    texts[1] = "   \t\n  "  # whitespace-only doc
+    texts[2] = "solo"  # single token (no full bigram)
+    texts[3] = "dup dup dup " * 60  # one token repeated (single distinct bigram)
+    texts[4] = "héllo wörld naïve 中文 文本 🎉 emoji"
+    texts[5] = texts[6] = texts[7] = "exact duplicate body of text here"  # exact dups
+    texts[8] = "near duplicate body of text here"  # near-dup of the trio
+    texts[9] = " ".join(WORDS) * 40  # very long doc
+    # rotate through en/de/es/fr only, then give "zh" exactly ONE member:
+    # a single-doc language exercises every per-lang groupBy/blocking path
+    langs = [LANGS[i % 4] for i in range(n)]
+    langs[10] = "zh"
+    return pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array([SOURCES[i % len(SOURCES)] for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def embeddings_table(rng, n, dim, dirty) -> pa.Table:
+    m = rng.normal(0, 1, (n, dim)).astype("float32")
+    m[1] = m[0]  # exact duplicate vector
+    m[2] = m[0] * 1e6  # same direction, huge magnitude (cos == 1)
+    m[3] = -m[0]  # antipodal (cos == -1)
+    m[4] = m[4] * 1e-30  # denormal-scale magnitudes
+    if dirty:
+        m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
+    return pa.table(
+        {
+            "vec_id": pa.array(range(1, n + 1), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+            "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+        }
+    )
+
+
+def generate(out_dir: str, seed: int, profile: str) -> None:
+    rng = np.random.default_rng(seed)
+    dirty = profile == "dirty"
+    n_cust, n_supp, n_part, n_ord, n_li = 300, 40, 120, 2000, 5000
+    tables = {
+        "region": region_table(),
+        "nation": nation_table(),
+        "customer": customer_table(rng, n_cust, dirty),
+        "supplier": supplier_table(rng, n_supp),
+        "part": part_table(rng, n_part),
+        "orders": orders_table(rng, n_ord, n_cust, dirty),
+        "lineitem": lineitem_table(rng, n_li, n_ord, n_part, n_supp),
+        "events": events_table(rng, 2000, 120, dirty),
+        "documents": documents_table(rng, 150),
+        "embeddings": embeddings_table(rng, 150, 64, dirty),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"wrote {len(tables)} adversarial tables ({profile}) to {out_dir}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--profile", choices=["degenerate", "dirty"], default="degenerate")
+    args = ap.parse_args()
+    generate(args.out, args.seed, args.profile)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
