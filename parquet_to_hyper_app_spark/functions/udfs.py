@@ -65,13 +65,24 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map worker: per-user z-score of event values."""
-    mean = pdf["value"].mean()
-    std = pdf["value"].std(ddof=1)  # sample stddev == SQL stddev_samp
-    if pd.isna(std) or std == 0.0:
+    """Grouped-map worker: per-user z-score of event values.
+
+    Statistics run over the group's FINITE values only, and
+    non-finite/null rows get a NULL z-score: one ±Inf in a group would
+    otherwise poison mean/std for every row (and DuckDB's stddev_samp
+    raises out-of-range on ±Inf input, so the oracle masks the same
+    way). Caught by the dirty fuzz sweep (tools/fuzz_data.py)."""
+    import numpy as np
+
+    v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+    finite = np.isfinite(v)
+    vals = v[finite]
+    mean = vals.mean() if len(vals) else np.nan
+    std = np.std(vals, ddof=1) if len(vals) > 1 else np.nan  # SQL stddev_samp
+    if not np.isfinite(std) or std == 0.0:
         z = pd.Series([None] * len(pdf), dtype="float64")
     else:
-        z = ((pdf["value"] - mean) / std).round(6)
+        z = pd.Series(np.where(finite, np.round((v - mean) / std, 6), np.nan))
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
@@ -85,13 +96,19 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "udf_grouped_map",
     oracle="""
-    SELECT event_id, user_id, value,
-           CASE WHEN stddev_samp(value) OVER w IS NULL
-                  OR stddev_samp(value) OVER w = 0 THEN NULL
-                ELSE round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
-           END AS zscore
-    FROM events
-    WINDOW w AS (PARTITION BY user_id)
+    SELECT event_id, user_id, value, zscore FROM (
+        SELECT event_id, user_id, value,
+               CASE WHEN NOT coalesce(isfinite(value), FALSE) THEN NULL
+                    WHEN stddev_samp(fin) OVER w IS NULL
+                      OR stddev_samp(fin) OVER w = 0 THEN NULL
+                    ELSE round((value - avg(fin) OVER w)
+                               / stddev_samp(fin) OVER w, 6)
+               END AS zscore
+        FROM (SELECT event_id, user_id, value,
+                     CASE WHEN isfinite(value) THEN value END AS fin
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id)
+    )
     """,
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:

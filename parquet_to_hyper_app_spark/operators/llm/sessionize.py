@@ -37,7 +37,7 @@ def sessionized(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM (
         SELECT user_id, ts, value,
                CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {GAP_SECONDS} * 1000000

@@ -79,13 +79,13 @@ def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderstatus, o_orderkey,
                    row_number() OVER (PARTITION BY o_orderstatus
                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
-            FROM orders) WHERE rn = 1
+            FROM orders WHERE o_totalprice IS NOT NULL) WHERE rn = 1
     ), mn AS (
         SELECT o_orderstatus, o_orderkey AS smallest_order FROM (
             SELECT o_orderstatus, o_orderkey,
                    row_number() OVER (PARTITION BY o_orderstatus
                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
-            FROM orders) WHERE rn = 1
+            FROM orders WHERE o_totalprice IS NOT NULL) WHERE rn = 1
     ), ag AS (
         SELECT o_orderstatus, max(o_totalprice) AS max_price,
                min(o_totalprice) AS min_price
@@ -93,22 +93,30 @@ def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ag.o_orderstatus, mx.biggest_order, mn.smallest_order,
            ag.max_price, ag.min_price
-    FROM ag JOIN mx USING (o_orderstatus) JOIN mn USING (o_orderstatus)
+    FROM ag LEFT JOIN mx USING (o_orderstatus) LEFT JOIN mn USING (o_orderstatus)
     """,
 )
 def sql_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (argmax/argmin) per group. The ordering key is a
     (price, orderkey) struct so ties are deterministic; the oracle
     reproduces the same pick with ranked CTEs (DuckDB 1.0's arg_max
-    has no composite-key overload)."""
+    has no composite-key overload).
+
+    Rows with a NULL price are excluded from the arg pick on BOTH
+    sides: Spark compares structs with NULL fields FIRST, so an
+    unfiltered min_by would return the null-price row, while DuckDB's
+    rank CTE (and its native arg_min) skip nulls — the dirty fuzz
+    sweep caught exactly that flip. The FILTER clause keeps groups
+    whose every price is NULL (arg columns go NULL, matching the
+    oracle's LEFT JOIN)."""
     v = _view(spark, sf_dir, "orders")
     return spark.sql(
         f"""
         SELECT o_orderstatus,
                max_by(o_orderkey, struct(o_totalprice, CAST(o_orderkey AS DOUBLE)))
-                   AS biggest_order,
+                   FILTER (WHERE o_totalprice IS NOT NULL) AS biggest_order,
                min_by(o_orderkey, struct(o_totalprice, CAST(o_orderkey AS DOUBLE)))
-                   AS smallest_order,
+                   FILTER (WHERE o_totalprice IS NOT NULL) AS smallest_order,
                max(o_totalprice) AS max_price,
                min(o_totalprice) AS min_price
         FROM {v} GROUP BY o_orderstatus

@@ -681,13 +681,13 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22",
     oracle="""
     WITH avg_bal AS (
-        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS t
+        SELECT CAST(sum(TRY_CAST(nullif(c_acctbal, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS t
         FROM customer
         WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
     )
     SELECT c_nationkey AS cntrycode,
            count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(sum(TRY_CAST(nullif(c_acctbal, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       AND c_acctbal > t

@@ -68,9 +68,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_agg",
     oracle="""
     SELECT event_id, user_id, ts, value,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(18,6))) OVER w AS DOUBLE)
                / count(*) OVER w AS moving_avg,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -138,7 +138,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume_dist
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,9 +147,15 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist (rows ≤ current / n) per customer ordered by spend. Both
     are integer-ratio doubles computed by the same IEEE division in
     both engines, so no rounding is needed. One shuffle, shared by both
-    functions (same window spec)."""
+    functions (same window spec). The sort key is a nullable double and
+    the engines' DEFAULT null placement differs (Spark ASC = NULLS
+    FIRST, DuckDB ASC = NULLS LAST — a null row shifts every rank in
+    its partition; caught by the dirty fuzz sweep), so the null
+    position is pinned explicitly on both sides."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -194,7 +201,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_interval",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(12,2)))
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2)))
                 OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS trailing_1h_value,

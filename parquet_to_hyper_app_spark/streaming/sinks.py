@@ -30,14 +30,29 @@ from parquet_to_hyper_app_spark.streaming.source import (
 _SINK_TS_EXPR = "CAST(timestamp_micros(ts) AS TIMESTAMP_NTZ)"
 
 
-@query("stream_foreach_batch", oracle="SELECT * FROM events")
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT
+        coalesce(event_id, 0) AS event_id,
+        ts,
+        coalesce(user_id, 0) AS user_id,
+        event_type,
+        CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+             THEN 0 ELSE value END AS value,
+        props
+    FROM events
+    """,
+)
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S38d: streaming convert — file stream → clean_numeric →
     foreachBatch parquet append → read the sink back. The oracle is the
-    source table itself: the streamed sink must be value-complete and
-    value-exact (events has no NaN/Inf/null numerics, so cleaning is
-    the identity here; the cleaning semantics are oracle-checked
-    separately by `clean_numeric`)."""
+    source table under the SAME cleaning projection the batch convert
+    pipeline declares (convert_sink_events): on the driver's clean
+    generator it reduces to SELECT *, but a stream carrying NaN/Inf/
+    null numerics must come out CLEANED, not raw — the earlier
+    `SELECT * FROM events` oracle silently assumed clean input and
+    flipped on the first dirty row (caught by the dirty fuzz sweep)."""
     qname = f"fb_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
     out_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_fb", qname, "out")
@@ -75,7 +90,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -118,7 +133,12 @@ def merge_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
 
     part = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        # decimal-first cents: cast through DECIMAL(12,2) BEFORE scaling
+        # so NaN/±Inf/overflow degrade to NULL (dropped from the sum)
+        # exactly like the oracle's TRY_CAST — a direct double→long cast
+        # is non-ANSI CLAMPING (Inf → Long.MaxValue would poison the
+        # running cents forever; caught by the dirty fuzz sweep)
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("long")).alias("cents"),
     )
     prior = sorted(
         p

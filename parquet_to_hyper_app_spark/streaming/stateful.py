@@ -45,9 +45,23 @@ def _update_profile(
         if not len(pdf):
             continue  # empty chunk: ts.max() would be NaT and poison state
         n += len(pdf)
-        # cents-exact accumulation: each 2-decimal value rounds to an
-        # exact integer cent count; integer sums are order-independent
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # cents-exact accumulation: each value rounds to an integer cent
+        # count; integer sums are order-independent. The cents cast must
+        # mirror the engines' `TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))`
+        # degrade-to-NULL semantics, not crash: NaN/±Inf/null and
+        # DECIMAL(12,2)-overflow values drop out of the sum (a plain
+        # .astype("int64") raised IntCastingNaNError on the first dirty
+        # row — caught by tools/fuzz_data.py --profile dirty), while
+        # n_events still counts every row like count(*). Rounding is
+        # sign-aware half-away-from-zero (floor(|v|·100 + 0.5)), the
+        # HALF_UP both engines use for decimal casts — pandas .round()
+        # is banker's and would flip exact half-cents.
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+        ok = np.isfinite(v) & (np.abs(v) < 1e10)  # DECIMAL(12,2) domain
+        kept = v[ok]
+        cents += int((np.sign(kept) * np.floor(np.abs(kept) * 100 + 0.5)).sum())
         batch_max = pdf["ts"].max()
         last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
     state.update((n, cents, last_seen))
@@ -66,7 +80,8 @@ def _update_profile(
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           coalesce(CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+               AS total_value,
            max(ts) AS last_seen
     FROM events GROUP BY user_id
     """,

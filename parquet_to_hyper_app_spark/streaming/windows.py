@@ -36,7 +36,7 @@ from parquet_to_hyper_app_spark.streaming.source import events_file_stream, run_
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -63,7 +63,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
                           - CAST(k AS BIGINT) * 900000000) AS window_start,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
     GROUP BY 1
     """,
@@ -187,7 +187,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_name, e.event_type,
-           CAST(CAST(e.value AS DECIMAL(12,2)) * CAST(c.c_acctbal AS DECIMAL(12,2))
+           CAST(TRY_CAST(nullif(e.value, 'NaN'::DOUBLE) AS DECIMAL(12,2))
+                * TRY_CAST(nullif(c.c_acctbal, 'NaN'::DOUBLE) AS DECIMAL(12,2))
                 AS DOUBLE) AS weighted_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
