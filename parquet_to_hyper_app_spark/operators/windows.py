@@ -106,18 +106,25 @@ def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(TRY_CAST(nullif(o_totalprice, 'NaN'::DOUBLE)
+                             AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_total
+           ) AS DOUBLE) AS running_total
     FROM orders
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S20b: cumulative spend per customer — the running-total frame is
-    evaluated incrementally in order, so both engines add in the same
-    sequence."""
+    """S20b: cumulative spend per customer. The running sum accumulates
+    in exact DECIMAL(12,2), not double: window_moving_agg's fuzz flip
+    proved window double-sums accumulate in engine-specific order
+    (DuckDB's segment tree), so `round(sum(double), 2)` can land on a
+    cent boundary and disagree in the last cent — the decimal frame sum
+    is exact and order-independent, cast to double once at the end
+    (functions/exact.py rationale), no rounding step at all."""
     o = load_table(spark, sf_dir, "orders")
+    from parquet_to_hyper_app_spark.functions.exact import dec2
+
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -127,7 +134,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
