@@ -1,0 +1,177 @@
+"""Regression pins for the dirty-data semantics the fuzz sweep found.
+
+tools/fuzz_data.py's full adversarial parity sweep (all 144 keys × both
+profiles) is the heavyweight gate; these tests pin the individual
+cross-engine rules cheaply so a regression fails CI without the sweep:
+
+- per-key z-score statistics run over FINITE values only;
+- the stateful-profile cents fold degrades NaN/±Inf/NULL/overflow to
+  "skipped" (TRY_CAST semantics) instead of crashing or clamping;
+- min_by/max_by arg picks exclude rows whose ordering value is NULL
+  (Spark sorts NULL struct fields first; DuckDB's arg_min skips them);
+- distribution windows pin NULLS LAST so both engines rank alike.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _update_profile."""
+
+    def __init__(self):
+        self.exists = False
+        self.value = None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+        self.exists = True
+
+
+def test_stateful_cents_fold_skips_nonfinite_like_try_cast():
+    from parquet_to_hyper_app_spark.streaming.stateful import _update_profile
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 6,
+            "value": [1.25, float("nan"), float("inf"), None, -2.50, 1e12],
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+        }
+    )
+    state = _FakeState()
+    [out] = list(_update_profile((1,), iter([pdf]), state))
+    # count(*) counts every row; the sum keeps only the DECIMAL(12,2)
+    # domain: 1.25 - 2.50 (1e12 overflows 10 integer digits)
+    assert out["n_events"].iat[0] == 6
+    assert out["total_value"].iat[0] == pytest.approx(-1.25)
+
+
+def test_stateful_cents_fold_rounds_half_away_from_zero():
+    from parquet_to_hyper_app_spark.streaming.stateful import _update_profile
+
+    # 2.675 is NOT representable exactly; use values whose double IS an
+    # exact half-cent so the rounding mode is actually exercised
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "value": [0.125, -0.125],  # exact doubles: ±12.5 cents
+            "ts": pd.to_datetime(["2024-01-01"] * 2),
+        }
+    )
+    state = _FakeState()
+    [out] = list(_update_profile((1,), iter([pdf]), state))
+    # HALF_UP: +12.5 → 13, −12.5 → −13 (banker's would give ±12 → 0.24)
+    assert out["total_value"].iat[0] == pytest.approx(0.0)
+    state2 = _FakeState()
+    pdf_pos = pdf[pdf["value"] > 0]
+    [out2] = list(_update_profile((1,), iter([pdf_pos]), state2))
+    assert out2["total_value"].iat[0] == pytest.approx(0.13)
+
+
+def test_zscore_group_masks_nonfinite_rows():
+    from parquet_to_hyper_app_spark.functions.udfs import _zscore_group
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7] * 5,
+            "value": [1.0, 2.0, 3.0, float("inf"), None],
+        }
+    )
+    out = _zscore_group(pdf)
+    z = out["zscore"].to_numpy()
+    # finite rows get the z-score of the FINITE population (mean 2, sd 1)
+    assert z[0] == pytest.approx(-1.0)
+    assert z[1] == pytest.approx(0.0)
+    assert z[2] == pytest.approx(1.0)
+    # non-finite / null rows yield NaN (normalized to SQL NULL upstream)
+    assert math.isnan(z[3]) and math.isnan(z[4])
+
+
+def test_zscore_group_all_nonfinite_or_constant_is_null():
+    from parquet_to_hyper_app_spark.functions.udfs import _zscore_group
+
+    const = pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [1, 1], "value": [5.0, 5.0]}
+    )
+    assert _zscore_group(const)["zscore"].isna().all()
+    dirty = pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [1, 1], "value": [float("inf"), None]}
+    )
+    assert _zscore_group(dirty)["zscore"].isna().all()
+
+
+def test_argminmax_filters_null_ordering_values(spark, tmp_path):
+    """min_by over a struct with a NULL field picks the null row in
+    Spark (null struct fields sort FIRST) — the query must exclude it,
+    matching DuckDB arg_min. Driven through the registry fn on a tiny
+    orders table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F", "F"]),
+            "o_totalprice": pa.array([10.0, None, 5.0, 20.0]),
+            "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    fn = load_all()["sql_argminmax"].fn
+    [row] = fn(spark, str(tmp_path)).collect()
+    assert row["smallest_order"] == 3  # NOT orderkey 2 (null price)
+    assert row["biggest_order"] == 4
+    assert row["min_price"] == 5.0 and row["max_price"] == 20.0
+
+
+def test_window_distribution_nulls_rank_last(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 3),
+            "o_totalprice": pa.array([None, 10.0, 20.0]),
+            "o_orderdate": pa.array([0] * 3, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    fn = load_all()["window_distribution"].fn
+    got = {r["o_orderkey"]: r["pct_rank"] for r in fn(spark, str(tmp_path)).collect()}
+    # null price ranks LAST (pct_rank 1.0), not first
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(0.5)
+
+
+def test_incremental_agg_cents_expr_degrades_specials(spark):
+    """The batch cents expression must NULL NaN/Inf (decimal-first),
+    never clamp Inf to Long.MaxValue via a raw double→long cast."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.25,), (float("inf"),), (float("nan"),), (None,)], "value double"
+    )
+    cents = df.select(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("c")
+    ).collect()
+    assert [r["c"] for r in cents] == [125, None, None, None]
