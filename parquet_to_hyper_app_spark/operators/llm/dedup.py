@@ -13,11 +13,18 @@ Five dedup families over the `documents` / `embeddings` tables
 - embedding       cosine-threshold pairs (exhaustive at test scale;
                   the LSH-bucketed scale path is similarity_ivf's)
 
-Everything is deterministic: hash functions are seeded xxhash64,
-tie-breaks are explicit, no MLlib random coefficients.
+Everything is deterministic — and, since round 4, the MinHash/SimHash
+fingerprints are ENGINE-REPRODUCIBLE: the base hash is the first 15 hex
+digits of md5 (a 60-bit positive int both Spark's `conv(substr(md5 …`
+and DuckDB's `CAST('0x' || substr(md5 …` produce bit-identically), and
+the seeded families on top are pure int64 XOR/shift/compare — so the
+full LSH pipelines now carry exact DuckDB oracles instead of the
+rows-only "seeded hashes differ across engines" waiver.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -67,11 +74,35 @@ _N_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 
+
+def hash60_const(s: str) -> int:
+    """Python twin of the cross-engine 60-bit md5 hash (test oracle)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+#: the 32 realized XOR "permutation" constants, derived from md5 so
+#: they are data-independent, reproducible, and embeddable as literals
+#: in BOTH the Spark expression and the DuckDB oracle SQL. XOR by a
+#: random 60-bit constant is a bijection of the hash space; with the
+#: base values already md5-uniform, min over each XOR'd copy is the
+#: classic practical min-hash family that needs no multiplication
+#: (64-bit multiply overflows differ across engines: Java wraps,
+#: DuckDB raises) — the whole signature stays exactly reproducible in
+#: pure int64 ops. Candidate-recall quality is pinned by the planted
+#: near-dup test and the minhash-vs-exact-Jaccard property test; the
+#: downstream exact-Jaccard verify keeps precision exact regardless.
+_MINHASH_XOR: list[int] = [hash60_const(f"minhash-perm-{k}") for k in range(_N_HASHES)]
+
+#: cross-engine 60-bit string hash: both engines md5 the UTF-8 bytes
+#: and read the first 15 hex digits as a positive int64
+_HASH60_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+_HASH60_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
 #: word 3-gram shingles of the lower-cased text, distinct, HASHED to
 #: int64 immediately — every later stage (signature fold, exact verify)
 #: runs on 8-byte longs; shingle string bytes are scanned exactly once
 #: (the same rescan-avoidance that took dedup_ngram_jaccard 97 s → 5 s)
-_SHINGLES = """
+_SHINGLES = f"""
 transform(
   array_distinct(
     CASE WHEN size(__words) >= 3 THEN
@@ -80,7 +111,7 @@ transform(
     ELSE array(concat_ws(' ', __words))
     END
   ),
-  s -> xxhash64(s)
+  s -> {_HASH60_SPARK.format(col="s")}
 )
 """
 
@@ -92,15 +123,17 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 
 #: single-pass signature: one fold over the hashed shingles computes
-#: all 32 seeded minhashes (32 separate array_min(transform(...)) calls
-#: would rescan the array 32× and emit a much larger codegen body);
-#: each seeded hash re-hashes a fixed-width long, not the string.
+#: all 32 minhashes (32 separate array_min(transform(...)) calls would
+#: rescan the array 32× and emit a much larger codegen body); each
+#: "permuted" hash is one XOR of the fixed-width long — cheaper than
+#: the previous per-seed xxhash64 AND exactly DuckDB-expressible.
+_XOR_LITERALS = ", ".join(f"{c}L" for c in _MINHASH_XOR)
 _SIGNATURE = f"""
 aggregate(
   shingles,
   array_repeat(9223372036854775807L, {_N_HASHES}),
   (acc, s) -> zip_with(acc,
-                       transform(sequence(0, {_N_HASHES - 1}), k -> xxhash64(k, s)),
+                       transform(array({_XOR_LITERALS}), c -> s ^ c),
                        (a, b) -> least(a, b))
 )
 """
@@ -111,22 +144,29 @@ def _with_signature(shingled: DataFrame) -> DataFrame:
     return shingled.withColumn("signature", F.expr(_SIGNATURE))
 
 
-def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
-    """LSH banding: equal band-hash ⇒ candidate pair (doc_a < doc_b).
+_BAND_KEYS = [f"k{r}" for r in range(_ROWS_PER_BAND)]
 
-    The shuffle key is (band_id, band_hash): documents only ever meet
-    inside a bucket, so work scales with bucket sizes, not n².
+
+def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
+    """LSH banding: equal band ⇒ candidate pair (doc_a < doc_b).
+
+    The shuffle key is (band_id, k0..k3) — the band's raw minhash
+    VALUES, not an engine-private hash of them, so the oracle's
+    band-tuple self-join reproduces the candidate set bit-for-bit (the
+    shuffle key is 4 longs wider; bucket cohabitation is identical).
+    Documents only ever meet inside a bucket, so work scales with
+    bucket sizes, not n².
     """
     bands = []
     for b in range(_BANDS):
         elems = [
-            F.element_at("signature", b * _ROWS_PER_BAND + r + 1).cast("string")
+            F.element_at("signature", b * _ROWS_PER_BAND + r + 1).alias(_BAND_KEYS[r])
             for r in range(_ROWS_PER_BAND)
         ]
-        bands.append(F.struct(F.lit(b).alias("band_id"), F.xxhash64(*elems).alias("band_hash")))
+        bands.append(F.struct(F.lit(b).alias("band_id"), *elems))
     bucketed = sigged.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.*")
     a = bucketed.alias("a")
     b_ = bucketed.alias("b")
     # plain .distinct() here, unlike ngram_jaccard_pairs' pinned-width
@@ -136,7 +176,7 @@ def _candidates_from_signatures(sigged: DataFrame) -> DataFrame:
     # A/B measured the pinned variant ~0.1 s SLOWER at sf0.1 (idle-task
     # scheduling with no compute to parallelize).
     return (
-        a.join(b_, ["band_id", "band_hash"])
+        a.join(b_, ["band_id", *_BAND_KEYS])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -191,15 +231,83 @@ def verified_near_dup_pairs(
     return verified
 
 
-@query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31 (rows-only): MinHash-LSH near-dedup — survivors after
-    removing every document verified (Jaccard ≥ 0.5 on word 3-gram
-    shingles) as a near-duplicate of a smaller doc_id.
+def _minhash_oracle() -> str:
+    """DuckDB replica of the FULL MinHash-LSH pipeline.
 
-    Not SQL-expressible in the oracle (banded LSH + seeded xxhash64);
-    correctness is pinned by tests/test_llm.py with planted near-dups
-    and by the minhash-vs-exact-Jaccard property test.
+    Same md5-60-bit shingle hash, same 32 XOR constants, same 8×4
+    banding (joined on raw band values), same exact-Jaccard ≥ 0.5
+    verify, same survivor rule — a hash-green driver row on this key
+    proves the whole LSH pipeline end-to-end, not just row counts.
+    """
+    mins = ",\n               ".join(
+        f"list_min(list_transform(sh, h -> xor(h, {c}))) AS m{k}"
+        for k, c in enumerate(_MINHASH_XOR)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {ks} FROM __sig".format(
+            b=b,
+            ks=", ".join(
+                f"m{b * _ROWS_PER_BAND + r} AS k{r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    band_eq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(_ROWS_PER_BAND))
+    h60 = _HASH60_DUCK.format(col="s")
+    return f"""
+    WITH __sh AS (
+        SELECT doc_id,
+               list_transform(
+                 list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                        ELSE [array_to_string(w, ' ')]
+                   END),
+                 s -> {h60}) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents)
+    ),
+    __sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM __sh
+    ),
+    __bands AS (
+        {band_selects}
+    ),
+    __pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM __bands a JOIN __bands b
+          ON a.band_id = b.band_id AND {band_eq} AND a.doc_id < b.doc_id
+    ),
+    __dups AS (
+        SELECT DISTINCT p.doc_b AS doc_id
+        FROM __pairs p
+        JOIN __sh a ON a.doc_id = p.doc_a
+        JOIN __sh b ON b.doc_id = p.doc_b
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM __dups)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31: MinHash-LSH near-dedup — survivors after removing every
+    document verified (Jaccard ≥ 0.5 on word 3-gram shingles) as a
+    near-duplicate of a smaller doc_id.
+
+    HASH-ORACLED since round 4: the shingle hash is the cross-engine
+    60-bit md5 prefix, the 32-fn family is XOR by md5-derived literal
+    constants, and bands join on raw minhash values — every stage is
+    reproduced exactly by `_minhash_oracle()` in DuckDB, so the driver
+    value-hashes the whole banded-LSH + exact-verify pipeline (the
+    former rows-only waiver is gone). Planted near-dups and the
+    minhash-vs-exact-Jaccard property test additionally pin recall.
     """
     docs = load_table(spark, sf_dir, "documents")
     dups = verified_near_dup_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
