@@ -315,16 +315,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: 32-bit SimHash of the word multiset, entirely in JVM expressions:
-#: per word w and bit i, vote +1/-1 by bit i of xxhash64(w); fingerprint
-#: bit i is the sign of the summed vote.
+#: per word w and bit i, vote +1/-1 by bit i of the cross-engine
+#: 60-bit md5 hash of w (hashed ONCE per word into __whashes — the
+#: md5 must not sit inside the per-bit lambda or it would run 32× per
+#: word); fingerprint bit i is the sign of the summed vote.
 _SIMHASH = """
 aggregate(
   zip_with(
-    aggregate(__words,
+    aggregate(__whashes,
               array_repeat(0L, 32),
-              (acc, w) -> zip_with(acc,
+              (acc, h) -> zip_with(acc,
                                    transform(sequence(0, 31),
-                                             i -> CASE WHEN (xxhash64(w) >> i) & 1 = 1
+                                             i -> CASE WHEN (h >> i) & 1 = 1
                                                   THEN 1L ELSE -1L END),
                                    (a, b) -> a + b)),
     sequence(0, 31),
@@ -335,19 +337,70 @@ aggregate(
 """
 
 
-@query("dedup_simhash")
+def _simhash_oracle() -> str:
+    """DuckDB replica of the SimHash fingerprint + survivor verdict.
+
+    Words unnest to rows, the per-bit ±1 votes are 32 generated SUM
+    expressions over the same md5-60-bit word hash, and the fingerprint
+    reassembles from the vote signs. documents LEFT JOINs the votes so
+    a NULL-text doc keeps a NULL fingerprint (unnest would silently
+    drop it), matching Spark's NULL-propagating fold.
+    """
+    h60 = _HASH60_DUCK.format(col="w")
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    fp = "\n               + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH __h AS (
+        SELECT doc_id, {h60} AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents)
+    ),
+    __votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM __h GROUP BY doc_id
+    ),
+    __fp AS (
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL ELSE
+               {fp}
+               END AS simhash
+        FROM documents d LEFT JOIN __votes v ON d.doc_id = v.doc_id
+    )
+    SELECT doc_id, simhash,
+           row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1 AS is_survivor
+    FROM __fp
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31b (rows-only): 32-bit SimHash fingerprint per document plus
-    its dedup verdict (first doc per fingerprint survives). Pure
-    higher-order JVM expressions — no Python in the hot path. Weak
-    check: the seeded-xxhash64 fingerprint isn't DuckDB-expressible;
-    unit tests pin identical-text ⇒ identical simhash and
-    near-identical-text ⇒ small Hamming distance.
+    """S31b: 32-bit SimHash fingerprint per document plus its dedup
+    verdict (first doc per fingerprint survives). Pure higher-order JVM
+    expressions — no Python in the hot path.
+
+    HASH-ORACLED since round 4: the word hash is the cross-engine
+    60-bit md5 prefix and the vote/sign fold is pure int64 shift-and-
+    compare, so `_simhash_oracle()` reproduces the fingerprint exactly
+    in DuckDB. Unit tests additionally pin identical-text ⇒ identical
+    simhash and near-identical-text ⇒ small Hamming distance.
     """
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.withColumn(
-        "__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    ).withColumn("simhash", F.expr(_SIMHASH)).drop("__words")
+    out = (
+        docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .withColumn(
+            "__whashes",
+            F.expr(f"transform(__words, w -> {_HASH60_SPARK.format(col='w')})"),
+        )
+        .withColumn("simhash", F.expr(_SIMHASH))
+        .drop("__words", "__whashes")
+    )
     w = W.partitionBy("simhash").orderBy("doc_id")
     return (
         out.withColumn("rn", F.row_number().over(w))

@@ -66,10 +66,14 @@ def test_minhash_finds_planted_near_dup(planted_docs):
 
 def test_simhash_properties(spark, planted_docs):
     planted_docs.createOrReplaceTempView("__docs")
-    from parquet_to_hyper_app_spark.operators.llm.dedup import _SIMHASH
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _HASH60_SPARK, _SIMHASH
 
     out = (
         planted_docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .withColumn(
+            "__whashes",
+            F.expr(f"transform(__words, w -> {_HASH60_SPARK.format(col='w')})"),
+        )
         .withColumn("simhash", F.expr(_SIMHASH))
         .select("doc_id", "simhash")
         .collect()
