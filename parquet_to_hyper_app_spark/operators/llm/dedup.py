@@ -855,38 +855,132 @@ _EMB_LSH_BUCKET_ROWS = 64
 
 
 def _emb_lsh_bits(n: int) -> int:
-    import math
+    """Smallest k ≥ 4 with 2^k buckets of ~_EMB_LSH_BUCKET_ROWS rows.
 
-    return max(4, math.ceil(math.log2(max(n / _EMB_LSH_BUCKET_ROWS, 2.0))))
+    Pure-integer formulation (equivalent to ceil(log2(n/64)) clamped
+    to ≥ 4) so the oracle SQL derives the identical value with integer
+    comparisons — no cross-engine libm/ceil boundary risk.
+    """
+    bits = 4
+    while (1 << bits) * _EMB_LSH_BUCKET_ROWS < n:
+        bits += 1
+    return bits
 
 
-@query("dedup_embedding_lsh")
+def _rademacher_planes(dim: int, bits: int, tables: int):
+    """±1 hyperplanes derived from the cross-engine md5 hash.
+
+    Entry (t, b, d) is +1 iff bit 0 of hash60('emb-plane-t-b-d') — the
+    same rule `_emb_lsh_oracle()` evaluates with DuckDB's md5, so both
+    engines materialize the identical plane matrix without sharing any
+    RNG. Sign-random projection with Rademacher entries is the
+    Achlioptas-style variant of the Gaussian quantizer (same collision
+    probability asymptotics), and its ±1 entries keep the per-plane
+    dot a plain signed sum of vector elements.
+    """
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1.0 if hash60_const(f"emb-plane-{t}-{b}-{d}") & 1 else -1.0
+                for d in range(dim)
+            ]
+            for t in range(tables)
+            for b in range(bits)
+        ]
+    )
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB replica of the FULL hyperplane-LSH embedding dedup.
+
+    bits derives from count(*) with the same integer rule as
+    `_emb_lsh_bits`; the ±1 planes derive from the same md5 bit as
+    `_rademacher_planes`; per-(vector, plane) dots and the final
+    cosine use list_sum's sequential left-to-right double fold — the
+    exact order the Spark side reproduces (knife-edge sign recompute;
+    per-pair sequential cosine recompute, same as dedup_embedding).
+    """
+    h60 = _HASH60_DUCK.format(col="'emb-plane-' || p.t || '-' || p.b || '-' || (d - 1)")
+    return f"""
+    WITH __p AS (
+        SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings
+    ),
+    __bits AS (
+        SELECT CAST(min(k) AS INT) AS bits
+        FROM range(4, 41) t(k), __p
+        WHERE (1::BIGINT << k) * {_EMB_LSH_BUCKET_ROWS} >= n
+    ),
+    __planes AS (
+        SELECT p.t, p.b,
+               list_transform(range(1, dim + 1), d ->
+                 CASE WHEN ({h60} & 1) = 1
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS r
+        FROM (SELECT tt.t, bb.b FROM range(0, {_EMB_LSH_TABLES}) tt(t),
+                                     range(0, 40) bb(b), __bits
+              WHERE bb.b < bits) p, __p
+    ),
+    __v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    __bitvals AS (
+        SELECT v.vec_id, p.t,
+               CASE WHEN list_sum(list_transform(range(1, dim + 1),
+                                                 i -> v.e[i] * p.r[i])) > 0
+                    THEN (1::BIGINT << p.b) ELSE 0 END AS bv
+        FROM __v v CROSS JOIN __planes p, __p
+    ),
+    __buckets AS (
+        SELECT vec_id, t, sum(bv) AS h FROM __bitvals GROUP BY vec_id, t
+    ),
+    __pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM __buckets a JOIN __buckets b
+          ON a.t = b.t AND a.h = b.h AND a.vec_id < b.vec_id
+    ),
+    __cos AS (
+        SELECT p.vec_a, p.vec_b,
+               list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+        FROM __pairs p
+        JOIN __v a ON a.vec_id = p.vec_a
+        JOIN __v b ON b.vec_id = p.vec_b
+    )
+    SELECT vec_a, vec_b, cos_sim FROM __cos WHERE cos_sim >= 0.4
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S31d-scale (rows-only): cosine-threshold near-dup pairs (cos ≥
-    0.4) verified only inside LSH buckets — the production counterpart
-    of `dedup_embedding`'s exhaustive crossJoin baseline.
+    """S31d-scale: cosine-threshold near-dup pairs (cos ≥ 0.4) verified
+    only inside LSH buckets — the production counterpart of
+    `dedup_embedding`'s exhaustive block-matrix baseline.
 
     Shape (mirrors the MinHash-LSH pipeline above): every vector hashes
-    into one bucket per table (seeded hyperplane signs, same plane
-    generator as similarity_ivf); each (table, bucket) group is then
-    verified *in place* by an `applyInPandas` BLAS pass — normalized
-    G @ G.T over the bucket's ≤~2·target rows — emitting only the pairs
-    that clear the threshold. Per-pair join/shuffle never happens: the
-    only wide ops are the groupBy on (table, bucket) — moving n·L
+    into one bucket per table (hyperplane signs); each (table, bucket)
+    group is then verified *in place* by an `applyInPandas` BLAS pass
+    over the bucket's ≤~2·target rows — emitting only the pairs that
+    clear the threshold. Per-pair join/shuffle never happens: the only
+    wide ops are the groupBy on (table, bucket) — moving n·L
     (id, vector) rows, not candidate pairs — and a final max-per-pair
-    dedup across tables (a pair that collides in several tables is
-    emitted by each). Never a crossJoin. Approximate by construction ⇒
-    no SQL oracle; recall vs `dedup_embedding` is pinned by a unit
-    test. This is the deliberate Pandas-UDF exception — twice over:
-    (a) normalize + all L·bits hyperplane signs are ONE numpy matrix
-    multiply per Arrow batch (the interpreted-fold formulation of the
-    same thing was the slowest query in the whole bench: Catalyst's
-    CollapseProject inlines the normalization fold into every plane
-    fold, so the JVM evaluates L·bits·dim² interpreted lambda steps
-    per row), and (b) a dense within-bucket similarity matrix is
-    exactly what per-pair array folds cannot express efficiently. Both
-    batch shapes (columnar Arrow batch; one bounded bucket per call)
-    are BLAS-friendly.
+    dedup across tables. Never a crossJoin. This is the deliberate
+    Pandas-UDF exception: all L·bits hyperplane signs are ONE numpy
+    matrix multiply per Arrow batch, and a dense within-bucket
+    similarity matrix is exactly what per-pair array folds cannot
+    express efficiently.
+
+    HASH-ORACLED since round 4 (formerly rows-only "seeded planes
+    aren't SQL"): the planes are md5-derived ±1 entries both engines
+    materialize independently (`_rademacher_planes` ↔ the oracle's
+    CASE on DuckDB's md5), bits comes from an integer rule, and both
+    knife-edge sign dots (|BLAS dot| < 1e-6) and every emitted cosine
+    are recomputed with the oracle's sequential left-to-right double
+    fold — the same BLAS-prefilter + exact-fold contract that keeps
+    `dedup_embedding` bitwise-green. Recall vs the exhaustive baseline
+    is additionally pinned by a unit test.
 
     At 100 TB: bucket computation is one narrow mapInPandas pass with
     the (tiny) plane matrix serialized into the closure; bits grow
@@ -894,11 +988,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-group matrix stays ~64×dim doubles; the groupBy state is
     one bucket at a time per task.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from parquet_to_hyper_app_spark.operators.llm.similarity import (
-        _hyperplanes,
         embedding_count_for,
         embedding_dim_for,
     )
@@ -906,23 +1001,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim_for(spark, sf_dir)
     bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
-    # (L·bits) × dim plane matrix, one block of `bits` rows per table;
-    # same seeded generator as the JVM-side quantizer
-    planes = np.concatenate(
-        [np.asarray(_hyperplanes(dim, bits, seed=42 + t)) for t in range(_EMB_LSH_TABLES)]
-    )
+    # (L·bits) × dim ±1 plane matrix — md5-derived, shared with the oracle
+    planes = _rademacher_planes(dim, bits, _EMB_LSH_TABLES)
     pows = (1 << np.arange(bits)).astype("int64")
 
-    def normalize_and_bucket(batches):
+    def raw_and_bucket(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # RAW float64 vectors: signs don't need normalization
+            # (sign(x·p) == sign((x/|x|)·p)), and the verify stage's
+            # exact recompute wants the raw values anyway
             mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            # sign bits for all tables at once: n × (L·bits) dots
-            signs = (mat @ planes.T) > 0
+            dots = mat @ planes.T
+            # knife-edge: BLAS and the oracle's sequential fold can
+            # only disagree on sign within the accumulation-order error
+            # (« 1e-6 for these magnitudes); recompute those few dots
+            # with the exact left-to-right fold
+            for i, j in np.argwhere(np.abs(dots) < 1e-6):
+                s = 0.0
+                for k in range(dim):
+                    s += float(mat[i, k]) * float(planes[j, k])
+                dots[i, j] = s
+            signs = dots > 0
             hs = signs.reshape(len(mat), _EMB_LSH_TABLES, bits) @ pows
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _EMB_LSH_TABLES),
                     "e": list(np.repeat(mat, _EMB_LSH_TABLES, axis=0)),
@@ -930,34 +1033,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "h": hs.reshape(-1),
                 }
             )
-            yield out
 
     bucketed = emb.select("vec_id", "embedding").mapInPandas(
-        normalize_and_bucket, "vec_id long, e array<double>, t int, h long"
+        raw_and_bucket, "vec_id long, e array<double>, t int, h long"
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
         ids = pdf["vec_id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
-            )
+            return empty
         mat = np.stack(pdf["e"].to_numpy())
-        sims = mat @ mat.T
+        norms = np.linalg.norm(mat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= 0.4
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(a, b),
-                "vec_b": np.maximum(a, b),
-                "cos_sim": sims[iu, ju][keep],
-            }
-        )
+        keep = sims[iu, ju] >= 0.4 - 1e-6  # BLAS prefilter only
+        rows = []
+        for i, j in zip(iu[keep].tolist(), ju[keep].tolist()):
+            # oracle-exact sequential fold (same as dedup_embedding)
+            ea, eb = mat[i], mat[j]
+            dot = 0.0
+            sa = 0.0
+            sb = 0.0
+            for k in range(len(ea)):
+                dot += float(ea[k]) * float(eb[k])
+                sa += float(ea[k]) * float(ea[k])
+                sb += float(eb[k]) * float(eb[k])
+            cos = dot / (math.sqrt(sa) * math.sqrt(sb))
+            if cos >= 0.4:
+                x, y = int(ids[i]), int(ids[j])
+                rows.append((min(x, y), max(x, y), cos))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
 
     pairs = bucketed.groupBy("t", "h").applyInPandas(
         bucket_pairs, "vec_a long, vec_b long, cos_sim double"
     )
-    # a pair colliding in k tables is emitted k times (cos identical up
-    # to BLAS blocking); max() is the deterministic dedup
+    # a pair colliding in k tables is emitted k times with BITWISE-
+    # identical cos (same sequential fold); max() is the dedup
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("cos_sim").alias("cos_sim"))
