@@ -1,0 +1,38 @@
+"""Cross-engine deterministic hashing primitives.
+
+The driver's correctness gate value-hashes Spark results against DuckDB
+oracles, so any hash that influences an output must be computable
+bit-identically by BOTH engines (and by plain Python for tests).
+xxhash64 is Spark-private; md5 is everywhere. The shared primitive is
+the first 15 hex digits of md5 read as a positive 60-bit int64:
+
+- Spark :  CAST(conv(substr(md5(c), 1, 15), 16, 10) AS BIGINT)
+- DuckDB:  CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+- Python:  int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+All three agree on every string (unit-tested incl. unicode/empty). The
+seeded families built on top (MinHash XOR constants, Rademacher ±1
+hyperplane entries) use only int64 XOR/shift/compare — no 64-bit
+multiplication, whose overflow semantics differ across engines (Java
+wraps, DuckDB raises).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+#: Spark SQL / DuckDB SQL spellings of the shared 60-bit hash; format
+#: with col=<expression producing a string>
+HASH60_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+HASH60_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def hash60_const(s: str) -> int:
+    """Python twin of the cross-engine 60-bit md5 hash."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def rademacher_entry(key: str) -> float:
+    """±1.0 by bit 0 of the shared hash — the plane-entry rule the
+    DuckDB oracles re-evaluate with their own md5."""
+    return 1.0 if hash60_const(key) & 1 else -1.0

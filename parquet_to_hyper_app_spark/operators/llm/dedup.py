@@ -24,12 +24,16 @@ rows-only "seeded hashes differ across engines" waiver.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import (
+    HASH60_DUCK as _HASH60_DUCK,
+    HASH60_SPARK as _HASH60_SPARK,
+    hash60_const,
+    rademacher_entry,
+)
 from parquet_to_hyper_app_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -75,11 +79,6 @@ _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 
 
-def hash60_const(s: str) -> int:
-    """Python twin of the cross-engine 60-bit md5 hash (test oracle)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-
-
 #: the 32 realized XOR "permutation" constants, derived from md5 so
 #: they are data-independent, reproducible, and embeddable as literals
 #: in BOTH the Spark expression and the DuckDB oracle SQL. XOR by a
@@ -92,11 +91,6 @@ def hash60_const(s: str) -> int:
 #: near-dup test and the minhash-vs-exact-Jaccard property test; the
 #: downstream exact-Jaccard verify keeps precision exact regardless.
 _MINHASH_XOR: list[int] = [hash60_const(f"minhash-perm-{k}") for k in range(_N_HASHES)]
-
-#: cross-engine 60-bit string hash: both engines md5 the UTF-8 bytes
-#: and read the first 15 hex digits as a positive int64
-_HASH60_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
-_HASH60_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
 #: word 3-gram shingles of the lower-cased text, distinct, HASHED to
 #: int64 immediately — every later stage (signature fold, exact verify)
@@ -882,10 +876,7 @@ def _rademacher_planes(dim: int, bits: int, tables: int):
 
     return np.array(
         [
-            [
-                1.0 if hash60_const(f"emb-plane-{t}-{b}-{d}") & 1 else -1.0
-                for d in range(dim)
-            ]
+            [rademacher_entry(f"emb-plane-{t}-{b}-{d}") for d in range(dim)]
             for t in range(tables)
             for b in range(bits)
         ]

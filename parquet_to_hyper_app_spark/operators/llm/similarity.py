@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import HASH60_DUCK, rademacher_entry
 from parquet_to_hyper_app_spark.registry import query
 
 _N_QUERIES = 10
@@ -187,7 +188,14 @@ def enforce_recall_floor(
     candidates at all, and a mean over only the answered queries would
     let a quantizer that answers 1 of 10 queries perfectly sail past
     the floor. Both the recall sum and the panel count are 1-row
-    broadcasts onto the (tiny, ≤ queries·k) result."""
+    broadcasts onto the (tiny, ≤ queries·k) result.
+
+    Cross-engine exactness of the gate: recall values are hits/k, so
+    the mean is re-derived from the ROUNDED total hit count —
+    round(sum·k)/(k·n_q) is one rounding + one division in both
+    engines, immune to the summation-order last-ulp noise that a raw
+    sum-of-doubles/n_q comparison against the floor would carry right
+    at the boundary (e.g. three recalls of 1/3 summing to 1±ulp)."""
     n_q = queries.groupBy().agg(F.count(F.lit(1)).alias("__n_q"))
     tot = (
         audited.select("q_id", "recall_at_k")
@@ -199,7 +207,8 @@ def enforce_recall_floor(
         tot.crossJoin(F.broadcast(n_q))
         .select(
             (
-                F.coalesce(F.col("__sum_recall"), F.lit(0.0)) / F.col("__n_q")
+                F.round(F.coalesce(F.col("__sum_recall"), F.lit(0.0)) * _TOP_K, 0)
+                / (F.col("__n_q") * F.lit(float(_TOP_K)))
             ).alias("__mean_recall")
         )
     )
@@ -220,19 +229,132 @@ def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-@query("similarity_ivf")
+_IVF_BITS = 4
+
+
+def _ivf_planes(dim: int) -> list[list[float]]:
+    """md5-derived ±1 hyperplanes for the IVF coarse quantizer — the
+    same entries `_ivf_oracle()` re-derives with DuckDB's md5."""
+    return [
+        [rademacher_entry(f"ivf-plane-{b}-{d}") for d in range(dim)]
+        for b in range(_IVF_BITS)
+    ]
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replica of the FULL IVF search, audit, and floor gate.
+
+    Every float that reaches the output or a comparison is a
+    sequential left-to-right double fold in both engines (Spark's
+    higher-order aggregate ≡ DuckDB's list_sum), the planes re-derive
+    from md5, and the floor compares a round()-exact hit count — so
+    the whole approximate path hash-checks, not just its row count.
+    """
+    h60 = HASH60_DUCK.format(col="'ivf-plane-' || p.b || '-' || (d - 1)")
+    probe_list = ", ".join(
+        ["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(_IVF_BITS)]
+    )
+    return f"""
+    WITH __p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+    __planes AS (
+        SELECT p.b,
+               list_transform(range(1, dim + 1), d ->
+                 CASE WHEN ({h60} & 1) = 1
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS r
+        FROM range(0, {_IVF_BITS}) p(b), __p
+    ),
+    __v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    __bkt AS (
+        SELECT v.vec_id,
+               sum(CASE WHEN list_sum(list_transform(range(1, dim + 1),
+                                                     i -> v.e[i] * p.r[i])) > 0
+                        THEN (1::BIGINT << p.b) ELSE 0 END) AS bucket
+        FROM __v v CROSS JOIN __planes p, __p
+        GROUP BY v.vec_id
+    ),
+    __vb AS (SELECT v.vec_id, v.e, b.bucket FROM __v v JOIN __bkt b USING (vec_id)),
+    __probes AS (
+        SELECT q.vec_id AS q_id, q.e AS ea,
+               unnest([{probe_list}]) AS bucket
+        FROM __vb q WHERE q.vec_id < {_N_QUERIES}
+    ),
+    __scored AS (
+        SELECT p.q_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(p.ea) + 1), i -> p.ea[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(p.ea, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos_sim
+        FROM __probes p JOIN __vb c USING (bucket)
+        WHERE p.q_id <> c.vec_id
+    ),
+    __approx AS (
+        SELECT q_id, neighbor_id, cos_sim, rank FROM (
+            SELECT q_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+                       AS rank
+            FROM __scored
+        ) WHERE rank <= {_TOP_K}
+    ),
+    __exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, len(q.e) + 1),
+                                                        i -> q.e[i] * c.e[i]))
+                                / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                                   * sqrt(list_sum(list_transform(c.e, x -> x * x))))
+                                DESC,
+                                c.vec_id) AS rn
+            FROM __v q JOIN __v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_TOP_K}
+    ),
+    __recall AS (
+        SELECT a.q_id,
+               count(e.neighbor_id) / CAST({_TOP_K} AS DOUBLE) AS recall_at_k
+        FROM __approx a LEFT JOIN __exact e
+          ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.q_id
+    ),
+    __gate AS (
+        SELECT round(sum(recall_at_k) * {_TOP_K})
+               / ({_TOP_K} * CAST((SELECT count(*) FROM __v
+                                   WHERE vec_id < {_N_QUERIES}) AS DOUBLE))
+                   AS mean_recall
+        FROM __recall
+    )
+    SELECT a.q_id, a.neighbor_id, a.cos_sim, a.rank,
+           coalesce(r.recall_at_k, 0.0) AS recall_at_k
+    FROM __approx a
+    LEFT JOIN __recall r ON a.q_id = r.q_id, __gate g
+    WHERE g.mean_recall >= {RECALL_FLOOR}
+    """
+
+
+@query("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S32b (rows-only): approximate top-k — 4-bit random-hyperplane
-    LSH coarse quantizer, search restricted to the query's bucket
-    (≈1/16 of candidates scanned). Approximate by construction, so no
-    SQL oracle; instead every output row carries its query's
-    ``recall_at_k`` vs the exact brute-force top-k (audited in-query,
-    floor asserted in tests AND enforced in-query: mean recall below
-    RECALL_FLOOR empties the result, so the driver's row count reds),
-    and the bucketing is deterministic (seeded planes)."""
+    """S32b: approximate top-k — 4-bit random-hyperplane LSH coarse
+    quantizer, search restricted to the query's bucket + its
+    Hamming-1 probes (≈5/16 of candidates scanned). Every output row
+    carries its query's ``recall_at_k`` vs the exact brute-force
+    top-k (audited in-query, floor asserted in tests AND enforced
+    in-query: mean recall below RECALL_FLOOR empties the result).
+
+    HASH-ORACLED since round 4 (formerly rows-only "approximate by
+    construction"): approximate ≠ nondeterministic. The planes are
+    md5-derived ±1 entries, the bucket/cosine folds are sequential
+    JVM aggregates that match DuckDB's list_sum bit-for-bit, ranking
+    ties break on neighbor_id, and the recall floor compares a
+    round()-exact hit count — so `_ivf_oracle()` reproduces the
+    entire search+audit+gate pipeline and the driver value-hashes it.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    bits = 4
-    planes = _hyperplanes(embedding_dim_for(spark, sf_dir), bits=bits)
+    bits = _IVF_BITS
+    planes = _ivf_planes(embedding_dim_for(spark, sf_dir))
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
