@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.operators.llm.similarity import (
     _N_QUERIES,
+    _TOP_K,
+    ann_audit_gate_sql,
     bucket_topk,
     enforce_recall_floor,
     with_recall_audit,
@@ -149,32 +151,192 @@ def text_tfidf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_index(emb: DataFrame, k: int = 16, seed: int = 42):
-    """Train the IVF coarse quantizer; returns (model, assigned df)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).withColumn("features", array_to_vector("e"))
-    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="centroid_id").fit(v)
-    return model, model.transform(v).select("vec_id", "e", "centroid_id")
+#: Lloyd's quantizer config — fixed so both engines can replay it
+_KM_K = 16
+_KM_ITERS = 3
+_KM_SAMPLE = 2048
 
 
-@query("similarity_kmeans_ivf")
+def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
+                iters: int = _KM_ITERS) -> list[list[float]]:
+    """Deterministic fixed-iteration Lloyd's over an ORDERED sample.
+
+    Every float op matches the DuckDB oracle's arithmetic exactly:
+    distances are sequential left-to-right folds of (x−c)² (numpy's
+    blocked sums are only a prefilter — any vector whose two best
+    distances are within 1e-9 re-ranks all centroids with the exact
+    fold), ties pick the smallest centroid id, and centroid means sum
+    members IN vec_id ORDER before one division. Init = the k
+    smallest-vec_id sample vectors; a centroid whose cluster empties
+    keeps its previous position. With assignment and means both exact,
+    the centroids are bit-identical across engines after any number of
+    iterations — no compounding drift.
+    """
+    import numpy as np
+
+    k = min(k, len(sample))
+    mats = np.array([e for _, e in sample], dtype="float64")
+    dim = mats.shape[1]
+    cents = [[float(x) for x in e] for _, e in sample[:k]]
+    for _ in range(iters):
+        c_arr = np.array(cents)
+        diff = mats[:, None, :] - c_arr[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        assign = np.argmin(d2, axis=1)
+        if k > 1:
+            part = np.partition(d2, 1, axis=1)
+            knife = np.nonzero(part[:, 1] - part[:, 0] < 1e-9)[0]
+        else:
+            knife = []
+        for r in knife:
+            best_j, best_d = -1, float("inf")
+            for j in range(k):
+                s = 0.0
+                for di in range(dim):
+                    t = float(mats[r, di]) - cents[j][di]
+                    s += t * t
+                if s < best_d:  # strict < keeps the smallest j on ties
+                    best_j, best_d = j, s
+            assign[r] = best_j
+        for j in range(k):
+            rows = np.nonzero(assign == j)[0]
+            if not len(rows):
+                continue
+            newc = []
+            for di in range(dim):
+                s = 0.0
+                for r in rows:  # rows ascend ⇒ vec_id order
+                    s += float(mats[r, di])
+                newc.append(s / int(len(rows)))
+            cents[j] = newc
+    return cents
+
+
+def _km_iteration_sql(r: int) -> str:
+    """One unrolled Lloyd iteration: assignment vs __c{r-1} (sequential
+    (x−c)² fold, tie → smallest cid) then vec_id-ordered means."""
+    return f"""__a{r} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT s.vec_id, s.e, c.cid,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY list_sum(list_transform(range(1, dim + 1),
+                                i -> (s.e[i] - c.c[i]) * (s.e[i] - c.c[i]))),
+                                c.cid) AS rn
+            FROM __s s CROSS JOIN __c{r - 1} c, __p
+        ) WHERE rn = 1
+    ),
+    __m{r} AS (
+        SELECT cid, count(*) AS cnt, list(e ORDER BY vec_id) AS vs
+        FROM __a{r} GROUP BY cid
+    ),
+    __c{r} AS (
+        SELECT c.cid,
+               CASE WHEN m.cid IS NULL THEN c.c
+                    ELSE list_transform(range(1, dim + 1),
+                         i -> list_sum(list_transform(m.vs, v -> v[i])) / m.cnt)
+               END AS c
+        FROM __c{r - 1} c LEFT JOIN __m{r} m USING (cid), __p
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replica of the FULL IVF-KMeans pipeline: ordered-sample
+    Lloyd's training ({_KM_ITERS} unrolled iterations), full-corpus
+    assignment, own-centroid probe, exact-cosine top-k, recall audit,
+    floor gate. Composes `ann_audit_gate_sql()` like similarity_ivf."""
+    iterations = ",\n    ".join(_km_iteration_sql(r + 1) for r in range(_KM_ITERS))
+    last = f"__c{_KM_ITERS}"
+    return f"""
+    WITH __p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+    __v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    __s AS (SELECT vec_id, e FROM __v ORDER BY vec_id LIMIT {_KM_SAMPLE}),
+    __c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+        FROM (SELECT vec_id, e FROM __s ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    {iterations},
+    __assign AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(range(1, dim + 1),
+                                i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))),
+                                c.cid) AS rn
+            FROM __v v CROSS JOIN {last} c, __p
+        ) WHERE rn = 1
+    ),
+    __scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos_sim
+        FROM __assign q JOIN __assign c USING (cid)
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    __approx AS (
+        SELECT q_id, neighbor_id, cos_sim, rank FROM (
+            SELECT q_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT)
+                       AS rank
+            FROM __scored
+        ) WHERE rank <= {_TOP_K}
+    ),
+    {ann_audit_gate_sql()}
+    """
+
+
+@query("similarity_kmeans_ivf", oracle=_kmeans_oracle())
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S32c (rows-only): true IVF — seeded KMeans coarse quantizer,
-    queries probe only their own centroid's inverted list, exact cosine
-    within the list. Scanned fraction ≈ 1/k; every output row carries
-    its query's ``recall_at_k`` vs the exact brute-force top-k
-    (audited in-query, floor asserted in tests AND enforced in-query —
-    mean recall below RECALL_FLOOR empties the result so the driver's
-    row count reds). At 100 TB the
-    centroid assignment is one broadcast-model map pass and lists are
-    written bucketed by centroid_id."""
+    """S32c: true IVF — KMeans coarse quantizer, queries probe only
+    their own centroid's inverted list, exact cosine within the list.
+    Scanned fraction ≈ 1/k; every output row carries its query's
+    ``recall_at_k`` vs the exact brute-force top-k (audited in-query,
+    floor asserted in tests AND enforced in-query — mean recall below
+    RECALL_FLOOR empties the result so the driver's row count reds).
+
+    HASH-ORACLED since round 4 (the LAST formerly-weak key): MLlib's
+    KMeans is replaced by `lloyd_train` — fixed-iteration Lloyd's on
+    the ≤{_KM_SAMPLE} smallest-vec_id vectors with bit-exact
+    cross-engine arithmetic — so `_kmeans_oracle()` replays training,
+    assignment, search, audit, and gate entirely in DuckDB. Training
+    on a bounded ordered sample is also the honest 100 TB design: the
+    quantizer fits on one node by construction, while the full-corpus
+    centroid assignment stays a distributed JVM map pass (sequential
+    per-centroid folds against literal centroids, no Python, no
+    shuffle) and lists are written bucketed by centroid_id.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    _model, assigned = kmeans_index(emb)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    sample = [
+        (r.vec_id, list(r.e))
+        for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
+    ]
+    cents = lloyd_train(sample)
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in cents
+    ) + ")"
+    # nearest centroid, sequential (x−c)² fold per centroid, tie → the
+    # earliest (smallest) centroid id via the strict-< running min
+    assign_expr = f"""
+    aggregate(
+      zip_with({cents_sql}, sequence(0, {len(cents) - 1}),
+               (c, j) -> named_struct(
+                   'd', aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),
+                                  0D, (a, x) -> a + x),
+                   'j', j)),
+      named_struct('d', CAST('Infinity' AS DOUBLE), 'j', -1),
+      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END
+    ).j
+    """
+    assigned = v.withColumn("centroid_id", F.expr(assign_expr))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("ea"), "centroid_id"
     )

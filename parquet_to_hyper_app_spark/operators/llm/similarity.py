@@ -229,6 +229,48 @@ def lsh_bucket(e: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ann_audit_gate_sql() -> str:
+    """Shared DuckDB oracle tail for the ANN paths: exact brute-force
+    top-k, per-query recall audit, and the round()-exact recall-floor
+    gate. Composes after CTEs named __v (vec_id, e as double list) and
+    __approx (q_id, neighbor_id, cos_sim, rank) — the exact mirror of
+    `with_recall_audit` + `enforce_recall_floor`."""
+    return f"""__exact AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, len(q.e) + 1),
+                                                        i -> q.e[i] * c.e[i]))
+                                / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                                   * sqrt(list_sum(list_transform(c.e, x -> x * x))))
+                                DESC,
+                                c.vec_id) AS rn
+            FROM __v q JOIN __v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_TOP_K}
+    ),
+    __recall AS (
+        SELECT a.q_id,
+               count(e.neighbor_id) / CAST({_TOP_K} AS DOUBLE) AS recall_at_k
+        FROM __approx a LEFT JOIN __exact e
+          ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.q_id
+    ),
+    __gate AS (
+        SELECT round(sum(recall_at_k) * {_TOP_K})
+               / ({_TOP_K} * CAST((SELECT count(*) FROM __v
+                                   WHERE vec_id < {_N_QUERIES}) AS DOUBLE))
+                   AS mean_recall
+        FROM __recall
+    )
+    SELECT a.q_id, a.neighbor_id, a.cos_sim, a.rank,
+           coalesce(r.recall_at_k, 0.0) AS recall_at_k
+    FROM __approx a
+    LEFT JOIN __recall r ON a.q_id = r.q_id, __gate g
+    WHERE g.mean_recall >= {RECALL_FLOOR}"""
+
+
 _IVF_BITS = 4
 
 
@@ -298,40 +340,7 @@ def _ivf_oracle() -> str:
             FROM __scored
         ) WHERE rank <= {_TOP_K}
     ),
-    __exact AS (
-        SELECT q_id, neighbor_id FROM (
-            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_sum(list_transform(range(1, len(q.e) + 1),
-                                                        i -> q.e[i] * c.e[i]))
-                                / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
-                                   * sqrt(list_sum(list_transform(c.e, x -> x * x))))
-                                DESC,
-                                c.vec_id) AS rn
-            FROM __v q JOIN __v c ON q.vec_id <> c.vec_id
-            WHERE q.vec_id < {_N_QUERIES}
-        ) WHERE rn <= {_TOP_K}
-    ),
-    __recall AS (
-        SELECT a.q_id,
-               count(e.neighbor_id) / CAST({_TOP_K} AS DOUBLE) AS recall_at_k
-        FROM __approx a LEFT JOIN __exact e
-          ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY a.q_id
-    ),
-    __gate AS (
-        SELECT round(sum(recall_at_k) * {_TOP_K})
-               / ({_TOP_K} * CAST((SELECT count(*) FROM __v
-                                   WHERE vec_id < {_N_QUERIES}) AS DOUBLE))
-                   AS mean_recall
-        FROM __recall
-    )
-    SELECT a.q_id, a.neighbor_id, a.cos_sim, a.rank,
-           coalesce(r.recall_at_k, 0.0) AS recall_at_k
-    FROM __approx a
-    LEFT JOIN __recall r ON a.q_id = r.q_id, __gate g
-    WHERE g.mean_recall >= {RECALL_FLOOR}
+    {ann_audit_gate_sql()}
     """
 
 
