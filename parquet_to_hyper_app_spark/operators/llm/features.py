@@ -1,11 +1,12 @@
-"""MLlib-backed feature engineering for the LLM pipeline.
+"""Feature engineering for the LLM pipeline: TF-IDF + IVF-KMeans.
 
-Spark MLlib is part of the public API surface and supplies the two
-pieces hand-rolled operators shouldn't re-implement: hashed TF-IDF
-vectorization and a trained coarse quantizer (KMeans) for a real IVF
-similarity index. Both are seeded/deterministic-configured; they're
-rows-only checks because hashing-bucket indices and trained centroids
-are engine-specific by nature (recall/shape pinned by unit tests).
+`text_tfidf` is exact (vocabulary TF-IDF, hash-oracled); its MLlib
+HashingTF sibling stays as the un-registered `text_tfidf_hashed`
+utility (murmur bucket ids are engine-private). The IVF coarse
+quantizer is `lloyd_train` — a deterministic fixed-iteration Lloyd's
+whose arithmetic the DuckDB oracle replays bit-exactly — so
+`similarity_kmeans_ivf` is hash-checked end-to-end, training included
+(round 4; it was the registry's last rows-only key).
 """
 
 from __future__ import annotations
