@@ -378,7 +378,7 @@ _PHONE_RE = r"\+?\d[\d-]{7,}\d"
     oracle=f"""
     WITH pii AS (
         SELECT doc_id,
-               text || ' reach user' || CAST(doc_id AS VARCHAR)
+               coalesce(text, '') || ' reach user' || CAST(doc_id AS VARCHAR)
                     || '@example.com or +1-555-'
                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                     || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
@@ -410,10 +410,13 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure per-row JVM regexp projection — no shuffle, no UDF;
     at 100 TB this is the map side of whatever sink follows. Patterns
-    are RE2-safe (linear-time, no catastrophic backtracking)."""
+    are RE2-safe (linear-time, no catastrophic backtracking). NULL
+    text plants into an empty document in both engines — a NULL
+    concat operand would otherwise NULL the whole pii_text and the
+    nullable match counts would canonicalize as floats."""
     docs = load_table(spark, sf_dir, "documents")
     pii_text = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" reach user"),
         F.col("doc_id").cast("string"),
         F.lit("@example.com or +1-555-"),
@@ -440,7 +443,7 @@ _PACK_BUDGET = 512
     oracle=f"""
     WITH sized AS (
         SELECT doc_id, lang,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
         FROM documents
     ),
     placed AS (
@@ -480,8 +483,14 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text packs as the 1-token empty doc in both engines (split
+    # of NULL would yield size -1 here vs SQL NULL in the oracle)
     sized = docs.select(
-        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     placed = sized.withColumn(

@@ -31,14 +31,20 @@ def tokens(text: Column) -> Column:
     FROM (
         SELECT doc_id, lang, text,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
-        FROM documents
+        FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)
     )
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S33: per-document token count, mean token length, char count.
-    Integer sums divided as doubles — exact equality with the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    Integer sums divided as doubles — exact equality with the oracle.
+    NULL text counts as the empty document in BOTH engines (the
+    text_tfidf rule): a NULL-propagating count would make the int
+    metric columns nullable, which the driver canonicalizer reads
+    back as floats — a guaranteed hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     toks = tokens(F.col("text"))
     char_sum = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -100,15 +106,18 @@ QUALITY_MAX_DIGIT_RATIO = 0.3
         SELECT doc_id, text,
                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                            t -> t <> '') AS toks
-        FROM documents
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     )
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S33c: heuristic quality scoring — punctuation/digit/stopword
     ratios plus a boolean gate (length band + digit ceiling), the
-    standard cheap pre-filter before expensive model-based scoring."""
-    docs = load_table(spark, sf_dir, "documents")
+    standard cheap pre-filter before expensive model-based scoring.
+    NULL text scores as the empty document in both engines."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     toks = tokens(F.lower(F.col("text")))
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace("text", r"[^!?.,;:]", ""))
@@ -135,14 +144,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                AS n_bpe_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens
-    FROM documents
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     """,
 )
 def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S33d: BPE-ish token counting via a pre-tokenizer regex (letters
     runs | digit runs | single punctuation) — the cheap proxy for
-    tokenizer-cost estimation over a corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    tokenizer-cost estimation over a corpus. NULL text counts 0 tokens
+    in both engines (nullable ints canonicalize as floats otherwise)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
@@ -204,7 +216,7 @@ def _lang_id_oracle() -> str:
         SELECT doc_id, lang,
                list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                            t -> t <> '') AS tk
-        FROM documents
+        FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)
     ),
     __scored AS (
         SELECT doc_id, lang,
@@ -229,8 +241,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     one: pure column expressions, no shuffle — and because every step
     is deterministic arithmetic, the whole classifier is value-hash
     checked against the SQL oracle built from the same marker table.
+    NULL text classifies as the empty document ('und', score 0.0) in
+    both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     toks = tokens(F.lower(F.col("text")))
 
     def marker_score(words: tuple[str, ...]):

@@ -18,8 +18,12 @@ Profiles:
     timestamps, zero/negative money, single-member groups.
   dirty — additionally plants NaN/±Inf/NULL in the columns whose
     cleaning contract covers them (events.value, acctbals,
-    o_totalprice) plus a zero embedding vector (cosine 0/0) and
-    empty-JSON props rows.
+    o_totalprice) plus a zero embedding vector (cosine 0/0),
+    empty-JSON props rows, and a NULL documents.text row (round 4:
+    caught six cross-engine divergences — nullable int metrics
+    canonicalize as floats, and Spark's size(split(NULL)) = -1 vs
+    SQL NULL — all fixed by the "NULL text ≡ empty document" rule in
+    the per-doc metric queries).
 
 Usage:
     python tools/fuzz_data.py --out /tmp/fuzz_sf --seed 7 [--profile dirty]
@@ -228,8 +232,8 @@ def events_table(rng, n, n_users, dirty) -> pa.Table:
     return pa.table(cols)
 
 
-def documents_table(rng, n) -> pa.Table:
-    texts: list[str] = []
+def documents_table(rng, n, dirty=False) -> pa.Table:
+    texts: list[str | None] = []
     for i in range(n):
         k = rng.integers(3, 40)
         texts.append(" ".join(WORDS[j % len(WORDS)] for j in rng.integers(0, len(WORDS), k)))
@@ -241,6 +245,11 @@ def documents_table(rng, n) -> pa.Table:
     texts[5] = texts[6] = texts[7] = "exact duplicate body of text here"  # exact dups
     texts[8] = "near duplicate body of text here"  # near-dup of the trio
     texts[9] = " ".join(WORDS) * 40  # very long doc
+    if dirty:
+        # SQL NULL text: the driver testdata never produces it, but any
+        # real ingestion can — every text-consuming oracle must agree
+        # with Spark on NULL propagation (split/len/window partitions)
+        texts[11] = None
     # rotate through en/de/es/fr only, then give "zh" exactly ONE member:
     # a single-doc language exercises every per-lang groupBy/blocking path
     langs = [LANGS[i % 4] for i in range(n)]
@@ -251,7 +260,9 @@ def documents_table(rng, n) -> pa.Table:
             "text": pa.array(texts),
             "lang": pa.array(langs),
             "source": pa.array([SOURCES[i % len(SOURCES)] for i in range(n)]),
-            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else 0 for t in texts], pa.int64()
+            ),
         }
     )
 
@@ -286,7 +297,7 @@ def generate(out_dir: str, seed: int, profile: str) -> None:
         "orders": orders_table(rng, n_ord, n_cust, dirty),
         "lineitem": lineitem_table(rng, n_li, n_ord, n_part, n_supp),
         "events": events_table(rng, 2000, 120, dirty),
-        "documents": documents_table(rng, 150),
+        "documents": documents_table(rng, 150, dirty),
         "embeddings": embeddings_table(rng, 150, 64, dirty),
     }
     os.makedirs(out_dir, exist_ok=True)

@@ -13,6 +13,7 @@ float-diff report on mismatch). Exit 1 if anything diverges.
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
@@ -26,6 +27,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from parquet_to_hyper_app_spark.catalog import TABLE_NAMES  # noqa: E402
 from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
 from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
+from tools.greens import fingerprint  # noqa: E402
+
+#: committed ledger of hash-green LOCAL parity passes at the driver's
+#: correctness scale (sf0.01): key → fingerprint that passed. When the
+#: hot-key count exceeds the driver's 50-row budget, the tripwire
+#: (tests/test_green_tripwire.py) accepts the overflow ONLY for keys
+#: whose CURRENT fingerprint has a recorded pass here — "verified
+#: locally, driver row deferred one round" instead of "unverified".
+LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "local_parity.json")
+
+
+def record_local_passes(passed: dict[str, str], sf_dir: str) -> None:
+    """Fold hash-green passes into the ledger (driver-scale runs only)."""
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        return
+    ledger = {}
+    if os.path.exists(LEDGER_PATH):
+        with open(LEDGER_PATH) as f:
+            ledger = json.load(f)
+    ledger.update(passed)
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        f.write("\n")
 
 
 def canon_cell(v) -> str:
@@ -116,6 +140,7 @@ def main() -> int:
         )
 
     failures = 0
+    local_passes: dict[str, str] = {}
     for key in keys:
         spec = specs[key]
         t0 = time.time()
@@ -149,7 +174,9 @@ def main() -> int:
                 print(f"  {e}")
         else:
             print(f"ok   {key}: rows={len(spark_pdf)} ({time.time() - t0:.1f}s)")
+            local_passes[key] = fingerprint(spec)
 
+    record_local_passes(local_passes, args.sf)
     print(f"\n{len(keys) - failures}/{len(keys)} passed")
     return 1 if failures else 0
 
