@@ -111,8 +111,14 @@ transform(
 
 
 def _with_shingles(docs: DataFrame) -> DataFrame:
+    # NULL text shingles as the empty document — this was ALREADY the
+    # effective Spark semantics (concat_ws skips NULL args, so a NULL
+    # word list folds to the '' shingle); the coalesce makes it
+    # explicit and the oracle mirrors it (DuckDB's array_to_string
+    # would otherwise propagate NULL and silently never pair the doc)
     return docs.withColumn(
-        "__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        "__words",
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
     ).withColumn("shingles", F.expr(_SHINGLES)).drop("__words")
 
 
@@ -260,7 +266,7 @@ def _minhash_oracle() -> str:
                    END),
                  s -> {h60}) AS sh
         FROM (SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS w
               FROM documents)
     ),
     __sig AS (

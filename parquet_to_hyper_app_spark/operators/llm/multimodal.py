@@ -30,13 +30,20 @@ FEATURE_SCHEMA = "doc_id bigint, byte_len bigint, content_md5 string"
 
 
 def with_blob(docs: DataFrame) -> DataFrame:
-    """Simulate a multimodal table: utf-8 payload blob + metadata."""
+    """Simulate a multimodal table: utf-8 payload blob + metadata.
+
+    NULL text becomes the EMPTY payload (not a NULL one): a NULL blob
+    reaching the Pandas workers crashes `len(None)` mid-job — the
+    dirty-fuzz sweep caught exactly that — and a 100 TB ingestion must
+    degrade per-row, never per-job.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.encode(text, "utf-8").alias("payload"),
         F.struct(
             F.lit("text/plain").alias("mime"),
-            F.length(F.col("text")).cast("long").alias("orig_chars"),
+            F.length(text).cast("long").alias("orig_chars"),
         ).alias("media_meta"),
     )
 
@@ -104,8 +111,8 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           md5(text) AS content_md5
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_len,
+           md5(coalesce(text, '')) AS content_md5
     FROM documents
     """,
 )

@@ -252,14 +252,21 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         texts[11] = None
     # rotate through en/de/es/fr only, then give "zh" exactly ONE member:
     # a single-doc language exercises every per-lang groupBy/blocking path
-    langs = [LANGS[i % 4] for i in range(n)]
+    langs: list[str | None] = [LANGS[i % 4] for i in range(n)]
     langs[10] = "zh"
+    sources: list[str | None] = [SOURCES[i % len(SOURCES)] for i in range(n)]
+    if dirty:
+        # NULL grouping/blocking keys: both engines must agree that a
+        # NULL lang never equi-joins (so NULL-lang docs never pair in
+        # per-lang blocking) yet DOES form its own GROUP BY partition
+        langs[12] = None
+        sources[13] = None
     return pa.table(
         {
             "doc_id": pa.array(range(1, n + 1), pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array(langs),
-            "source": pa.array([SOURCES[i % len(SOURCES)] for i in range(n)]),
+            "source": pa.array(sources),
             "n_chars": pa.array(
                 [len(t) if t is not None else 0 for t in texts], pa.int64()
             ),
