@@ -815,16 +815,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ii, jj = ii[keep], jj[keep]
         rows = []
         for i, j in zip(ii.tolist(), jj.tolist()):
-            # oracle-exact sequential fold (left-to-right double adds)
-            ea, eb = ma[i], mb[j]
-            dot = 0.0
-            sa = 0.0
-            sb = 0.0
-            for k in range(len(ea)):
-                dot += float(ea[k]) * float(eb[k])
-                sa += float(ea[k]) * float(ea[k])
-                sb += float(eb[k]) * float(eb[k])
-            cos = dot / (math.sqrt(sa) * math.sqrt(sb))
+            # oracle-exact sequential fold (shared _seq_cosine)
+            cos = _seq_cosine(ma[i], mb[j])
             if cos >= 0.4:
                 x, y = int(ids_a[i]), int(ids_b[j])
                 rows.append((min(x, y), max(x, y), cos))
@@ -852,6 +844,24 @@ _EMB_LSH_TABLES = 8
 #: at any n; weak 0.4-ish pairs trade off — that regime is inherently
 #: hostile to LSH and the crossJoin baseline remains the exact check)
 _EMB_LSH_BUCKET_ROWS = 64
+
+
+def _seq_cosine(ea, eb) -> float:
+    """The oracle's exact cosine: left-to-right double folds, matching
+    DuckDB's list_sum order bit-for-bit. SHARED by dedup_embedding's
+    block verify and dedup_embedding_lsh's bucket verify so the
+    bitwise-exactness contract (threshold handling, fold order) can
+    never drift between the two."""
+    import math
+
+    dot = 0.0
+    sa = 0.0
+    sb = 0.0
+    for k in range(len(ea)):
+        dot += float(ea[k]) * float(eb[k])
+        sa += float(ea[k]) * float(ea[k])
+        sb += float(eb[k]) * float(eb[k])
+    return dot / (math.sqrt(sa) * math.sqrt(sb))
 
 
 def _emb_lsh_bits(n: int) -> int:
@@ -985,8 +995,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-group matrix stays ~64×dim doubles; the groupBy state is
     one bucket at a time per task.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -1012,10 +1020,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             dots = mat @ planes.T
             # knife-edge: BLAS and the oracle's sequential fold can
-            # only disagree on sign within the accumulation-order error
-            # (« 1e-6 for these magnitudes); recompute those few dots
-            # with the exact left-to-right fold
-            for i, j in np.argwhere(np.abs(dots) < 1e-6):
+            # only disagree on sign within the accumulation-order
+            # error, which for ±1 planes scales with Σ|x_d|
+            # (~dim·eps·Σ|x| ≈ 1.4e-14·Σ|x|) — the margin must be
+            # magnitude-RELATIVE or 1e8-scale embeddings would flip
+            # signs without triggering the exact recompute
+            margin = 1e-9 * np.maximum(1.0, np.abs(mat).sum(axis=1))
+            for i, j in np.argwhere(np.abs(dots) < margin[:, None]):
                 s = 0.0
                 for k in range(dim):
                     s += float(mat[i, k]) * float(planes[j, k])
@@ -1050,16 +1061,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = sims[iu, ju] >= 0.4 - 1e-6  # BLAS prefilter only
         rows = []
         for i, j in zip(iu[keep].tolist(), ju[keep].tolist()):
-            # oracle-exact sequential fold (same as dedup_embedding)
-            ea, eb = mat[i], mat[j]
-            dot = 0.0
-            sa = 0.0
-            sb = 0.0
-            for k in range(len(ea)):
-                dot += float(ea[k]) * float(eb[k])
-                sa += float(ea[k]) * float(ea[k])
-                sb += float(eb[k]) * float(eb[k])
-            cos = dot / (math.sqrt(sa) * math.sqrt(sb))
+            # oracle-exact sequential fold (shared with dedup_embedding)
+            cos = _seq_cosine(mat[i], mat[j])
             if cos >= 0.4:
                 x, y = int(ids[i]), int(ids[j])
                 rows.append((min(x, y), max(x, y), cos))

@@ -186,7 +186,13 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         assign = np.argmin(d2, axis=1)
         if k > 1:
             part = np.partition(d2, 1, axis=1)
-            knife = np.nonzero(part[:, 1] - part[:, 0] < 1e-9)[0]
+            # magnitude-RELATIVE knife margin: blocked-vs-sequential
+            # float error scales with the distances themselves
+            # (~dim·eps·d2 ≈ 1.4e-14·d2), so an absolute epsilon would
+            # under-trigger on large-norm embeddings (1e8-scale entries
+            # give d2 ~1e18 and fold error ~1e4)
+            margin = 1e-9 * np.maximum(1.0, d2.max(axis=1))
+            knife = np.nonzero(part[:, 1] - part[:, 0] < margin)[0]
         else:
             knife = []
         for r in knife:
@@ -243,7 +249,7 @@ def _km_iteration_sql(r: int) -> str:
 
 def _kmeans_oracle() -> str:
     """DuckDB replica of the FULL IVF-KMeans pipeline: ordered-sample
-    Lloyd's training ({_KM_ITERS} unrolled iterations), full-corpus
+    Lloyd's training (_KM_ITERS unrolled iterations), full-corpus
     assignment, own-centroid probe, exact-cosine top-k, recall audit,
     floor gate. Composes `ann_audit_gate_sql()` like similarity_ivf."""
     iterations = ",\n    ".join(_km_iteration_sql(r + 1) for r in range(_KM_ITERS))
@@ -303,7 +309,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HASH-ORACLED since round 4 (the LAST formerly-weak key): MLlib's
     KMeans is replaced by `lloyd_train` — fixed-iteration Lloyd's on
-    the ≤{_KM_SAMPLE} smallest-vec_id vectors with bit-exact
+    the ≤2048 (_KM_SAMPLE) smallest-vec_id vectors with bit-exact
     cross-engine arithmetic — so `_kmeans_oracle()` replays training,
     assignment, search, audit, and gate entirely in DuckDB. Training
     on a bounded ordered sample is also the honest 100 TB design: the

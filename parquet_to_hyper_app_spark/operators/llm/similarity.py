@@ -16,7 +16,6 @@ ordered double fold) — no UDF, bitwise-matching the DuckDB oracle.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -87,12 +86,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = brute_force_topk(emb, queries)
     return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes for the LSH quantizer."""
-    rng = np.random.default_rng(seed)
-    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(bits)]
 
 
 def embedding_dim(emb: DataFrame) -> int:

@@ -102,6 +102,14 @@ def priority(specs: dict[str, QuerySpec], state: dict) -> tuple[list[str], dict[
 
 
 def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) -> None:
+    # a new driver round invalidates every local-parity waiver: the
+    # ledger lets a budget-overflow key defer its driver row ONE round,
+    # not forever — each round's local passes must be re-earned after
+    # the round's driver run is folded in
+    ledger_path = os.path.join(os.path.dirname(STATE_PATH), "local_parity.json")
+    if os.path.exists(ledger_path):
+        with open(ledger_path, "w") as f:
+            f.write("{}\n")
     for key, row in rows.items():
         if key not in specs:
             continue
