@@ -443,3 +443,42 @@ def test_ngram_jaccard_edge_docs_match_oracle(spark, tmp_path):
         (row[0], row[1]): round(row[2], 9) for row in con.execute(spec.oracle).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------- lloyd quantizer
+
+
+def test_lloyd_tie_breaks_to_smallest_centroid_and_keeps_empty():
+    """The cross-engine contract's two discrete rules, pinned without
+    Spark: an exactly-equidistant point joins the SMALLEST centroid id
+    (the oracle's row_number tie on cid), and a centroid whose cluster
+    empties keeps its previous position (the oracle's LEFT JOIN CASE)."""
+    from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
+
+    # init: c0 = v1 = (0,0), c1 = v2 = (2,0); v3 = (1,0) is EXACTLY
+    # equidistant -> must join c0, so c0 moves to (0.5, 0)
+    cents = lloyd_train([(1, [0.0, 0.0]), (2, [2.0, 0.0]), (3, [1.0, 0.0])],
+                        k=2, iters=1)
+    assert cents[0] == [0.5, 0.0]
+    assert cents[1] == [2.0, 0.0]
+
+    # all points collapse onto c0 -> c1's cluster empties -> c1 stays
+    cents = lloyd_train([(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [0.1, 0.0]),
+                        (4, [0.2, 0.0])], k=2, iters=2)
+    assert cents[1] == [10.0, 0.0]  # singleton cluster: mean == itself
+    # c0's mean over members in vec_id order: sequential (0.0+0.1+0.2)/3
+    assert cents[0] == [(0.0 + 0.1 + 0.2) / 3, 0.0]
+
+
+def test_lloyd_knife_margin_is_magnitude_relative():
+    """1e8-scale entries: the BLAS einsum error (~1e4 absolute) dwarfs
+    any absolute epsilon; the relative margin must still route the
+    equidistant point through the exact sequential recompute."""
+    from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
+
+    s = 1e8
+    cents = lloyd_train([(1, [0.0, 0.0]), (2, [2.0 * s, 0.0]), (3, [s, 0.0])],
+                        k=2, iters=1)
+    # tie at huge magnitude -> smallest cid wins, mean is exact
+    assert cents[0] == [(0.0 + s) / 2, 0.0]
+    assert cents[1] == [2.0 * s, 0.0]

@@ -282,6 +282,11 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
     if dirty:
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
+        # 1e8-scale entries: the regime where blocked-BLAS vs
+        # sequential-fold float error grows to ~1e2 absolute — pins the
+        # magnitude-RELATIVE knife-edge margins in the LSH sign dots
+        # and the Lloyd argmin (an absolute epsilon breaks exactly here)
+        m[6] = m[6] * 1e8
     return pa.table(
         {
             "vec_id": pa.array(range(1, n + 1), pa.int64()),
