@@ -176,3 +176,44 @@ def test_hyper_sink_batching_and_type_map(spark, monkeypatch):
     # the cast happened before insertion: array cells arrive as strings
     first_vec = rec.batches[0][0][5]
     assert isinstance(first_vec, str)
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL database-table round trip for the reference's R9 'insert
+    into a database file' step: write the cleaned lineitem slice to an
+    embedded Derby database (the JDBC driver Spark itself bundles for
+    its Hive metastore) and read it back — value-preserving end to end.
+    This exercises write_jdbc's per-partition batched-insert path
+    against an actual database, not a mock; Derby-embedded serves all
+    local[n] executor threads from this one JVM, mirroring how the
+    Hyper Inserter loop is a single-process sink in the reference."""
+    from pyspark.sql import functions as F
+
+    from parquet_to_hyper_app_spark.catalog import load_table
+    from parquet_to_hyper_app_spark.operators.cleaning import (
+        clean_numeric,
+        normalize_schema,
+    )
+    from parquet_to_hyper_app_spark.sources.convert import write_jdbc
+    from tests.conftest import SF_SMOKE
+
+    url = f"jdbc:derby:{tmp_path}/convertdb;create=true"
+    df = (
+        normalize_schema(clean_numeric(load_table(spark, SF_SMOKE, "lineitem")))
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_returnflag", "l_shipdate")
+    )
+    expected = sorted(map(tuple, df.collect()))
+    assert expected, "smoke slice must be non-empty"
+    write_jdbc(df, url, "converted_lineitem",
+               driver="org.apache.derby.jdbc.EmbeddedDriver")
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "converted_lineitem")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    got = sorted(map(tuple, back.select(*df.columns).collect()))
+    assert got == expected
