@@ -68,3 +68,30 @@ def test_every_registered_key_is_listed():
     specs = load_all()
     ordered, _ = priority(specs, load_state())
     assert sorted(ordered) == sorted(specs)
+
+
+def test_record_clears_local_parity_ledger(tmp_path, monkeypatch):
+    """Folding a driver round into green_state must CLEAR the local-
+    parity ledger: the waiver lets a budget-overflow key defer its
+    driver row one round, never indefinitely (review finding r4)."""
+    import tools.greens as greens
+    import tools.parity as parity
+
+    ledger = tmp_path / "local_parity.json"
+    ledger.write_text('{"some_key": "deadbeef"}\n')
+    state_file = tmp_path / "green_state.json"
+    state_file.write_text('{"greens": {}, "force_recheck": []}\n')
+    monkeypatch.setattr(greens, "STATE_PATH", str(state_file))
+    monkeypatch.setattr(parity, "LEDGER_PATH", str(ledger))
+
+    specs = load_all()
+    key = next(iter(specs))
+    state = {"greens": {}, "force_recheck": []}
+    greens.record(
+        specs,
+        state,
+        {key: {"hash_match": True, "err": None, "spark_rows": 1}},
+        round_no=4,
+    )
+    assert json.loads(ledger.read_text()) == {}
+    assert state["greens"][key]["failed"] is False
