@@ -36,3 +36,19 @@ def rademacher_entry(key: str) -> float:
     """±1.0 by bit 0 of the shared hash — the plane-entry rule the
     DuckDB oracles re-evaluate with their own md5."""
     return 1.0 if hash60_const(key) & 1 else -1.0
+
+
+def rel_margin(row_scale):
+    """Magnitude-RELATIVE knife-edge margin for BLAS-vs-sequential-fold
+    comparisons: blocked float summation differs from the oracle's
+    left-to-right fold by ~dim·eps·scale (≈1.4e-14·scale for dim≤64),
+    so any fixed absolute epsilon under-triggers once values grow —
+    1e8-scale embedding entries put the error near 1e4 absolute. The
+    margin 1e-9·max(1, scale) dominates that error at every magnitude
+    while staying far below real value gaps. Shared by the Lloyd
+    argmin (scale = row max distance) and the LSH sign dots (scale =
+    Σ|x|); accepts a scalar or a numpy array.
+    """
+    import numpy as np
+
+    return 1e-9 * np.maximum(1.0, row_scale)

@@ -24,6 +24,8 @@ rows-only "seeded hashes differ across engines" waiver.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     HASH60_SPARK as _HASH60_SPARK,
     hash60_const,
     rademacher_entry,
+    rel_margin,
 )
 from parquet_to_hyper_app_spark.registry import query
 
@@ -764,8 +767,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     its oracle and its bitwise contract with an all-pairs-free plan:
     20.4 s → sub-second at sf0.1.)
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -808,7 +809,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         mb = np.stack(bv["embedding"].to_numpy()).astype("float64")
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
-        sims = (ma @ mb.T) / np.outer(na, nb)
+        # zero-norm vectors (dirty-fuzz hardened case) produce nan sims
+        # that the prefilter drops; suppress the per-batch numpy
+        # warnings exactly like the LSH bucket verify does
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (ma @ mb.T) / np.outer(na, nb)
         ii, jj = np.nonzero(sims >= 0.4 - 1e-6)
         if same_block:  # both sides are the same block: upper triangle only
             keep = ids_a[ii] < ids_b[jj]
@@ -852,8 +857,6 @@ def _seq_cosine(ea, eb) -> float:
     block verify and dedup_embedding_lsh's bucket verify so the
     bitwise-exactness contract (threshold handling, fold order) can
     never drift between the two."""
-    import math
-
     dot = 0.0
     sa = 0.0
     sb = 0.0
@@ -1021,11 +1024,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             dots = mat @ planes.T
             # knife-edge: BLAS and the oracle's sequential fold can
             # only disagree on sign within the accumulation-order
-            # error, which for ±1 planes scales with Σ|x_d|
-            # (~dim·eps·Σ|x| ≈ 1.4e-14·Σ|x|) — the margin must be
-            # magnitude-RELATIVE or 1e8-scale embeddings would flip
-            # signs without triggering the exact recompute
-            margin = 1e-9 * np.maximum(1.0, np.abs(mat).sum(axis=1))
+            # error, which for ±1 planes scales with Σ|x_d| — the
+            # margin is magnitude-RELATIVE (rel_margin docstring) or
+            # 1e8-scale embeddings would flip signs without
+            # triggering the exact recompute
+            margin = rel_margin(np.abs(mat).sum(axis=1))
             for i, j in np.argwhere(np.abs(dots) < margin[:, None]):
                 s = 0.0
                 for k in range(dim):

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import rel_margin
 from parquet_to_hyper_app_spark.operators.llm.similarity import (
     _N_QUERIES,
     _TOP_K,
@@ -186,12 +187,10 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         assign = np.argmin(d2, axis=1)
         if k > 1:
             part = np.partition(d2, 1, axis=1)
-            # magnitude-RELATIVE knife margin: blocked-vs-sequential
-            # float error scales with the distances themselves
-            # (~dim·eps·d2 ≈ 1.4e-14·d2), so an absolute epsilon would
-            # under-trigger on large-norm embeddings (1e8-scale entries
-            # give d2 ~1e18 and fold error ~1e4)
-            margin = 1e-9 * np.maximum(1.0, d2.max(axis=1))
+            # magnitude-RELATIVE knife margin (rel_margin docstring):
+            # an absolute epsilon would under-trigger on large-norm
+            # embeddings (1e8-scale entries give d2 ~1e18, error ~1e4)
+            margin = rel_margin(d2.max(axis=1))
             knife = np.nonzero(part[:, 1] - part[:, 0] < margin)[0]
         else:
             knife = []

@@ -61,3 +61,41 @@ def test_spark_vs_python_hash60(spark):
     assert rows, "edge-string frame must not be empty"
     for r in rows:
         assert r.h == hash60_const(r.s), r.s
+
+
+def test_seq_cosine_matches_duckdb_sequential_fold():
+    """Golden cross-engine pin for _seq_cosine — the shared helper both
+    embedding dedup paths use for every EMITTED cosine. It lives
+    outside the per-key source fingerprint (greens.py hashes only the
+    registered function), so this test is the tripwire for edits to
+    it: the value must equal DuckDB's list_sum left-to-right fold
+    BIT-FOR-BIT at several magnitudes, including ill-conditioned
+    near-parallel vectors where accumulation order matters most."""
+    import random
+
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _seq_cosine
+
+    rng = random.Random(7)
+    con = duckdb.connect()
+
+    def lit(vals):
+        # each element as a QUOTED-string cast: DuckDB parses a bare
+        # numeric literal as DECIMAL first (dropping low-order double
+        # bits) while a varchar→DOUBLE cast is correctly rounded —
+        # found when a repr()-literal list failed to round-trip
+        return "[" + ",".join(f"'{x!r}'::DOUBLE" for x in vals) + "]"
+
+    for scale in (1.0, 1e6, 1e-6, 1e8):
+        ea = [rng.uniform(-1, 1) * scale for _ in range(64)]
+        # near-parallel: eb = ea + tiny noise (cos ~ 1, cancellations)
+        eb = [x + rng.uniform(-1e-7, 1e-7) * scale for x in ea]
+        la, lb = lit(ea), lit(eb)
+        back = con.execute(f"SELECT {la}, {lb}").fetchone()
+        assert list(back[0]) == ea and list(back[1]) == eb, "literal round-trip"
+        duck = con.execute(
+            f"SELECT list_sum(list_transform(range(1, 65), i -> ({la})[i] * ({lb})[i]))"
+            f" / (sqrt(list_sum(list_transform({la}, x -> x * x)))"
+            f"    * sqrt(list_sum(list_transform({lb}, x -> x * x))))"
+        ).fetchone()[0]
+        got = _seq_cosine(ea, eb)
+        assert got == duck, (scale, got, duck)

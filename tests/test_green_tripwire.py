@@ -42,8 +42,7 @@ def test_hot_keys_fit_driver_budget():
     (tools/local_parity.json, written by tools/parity.py on sf0.01
     runs). "Verified locally, driver row deferred one round" is
     acceptable; "unverified and unscheduled" is not."""
-    from tools.greens import fingerprint
-    from tools.parity import LEDGER_PATH
+    from tools.greens import LEDGER_PATH, fingerprint
 
     specs = load_all()
     ordered, reason = priority(specs, load_state())
@@ -75,14 +74,13 @@ def test_record_clears_local_parity_ledger(tmp_path, monkeypatch):
     parity ledger: the waiver lets a budget-overflow key defer its
     driver row one round, never indefinitely (review finding r4)."""
     import tools.greens as greens
-    import tools.parity as parity
 
     ledger = tmp_path / "local_parity.json"
     ledger.write_text('{"some_key": "deadbeef"}\n')
     state_file = tmp_path / "green_state.json"
     state_file.write_text('{"greens": {}, "force_recheck": []}\n')
     monkeypatch.setattr(greens, "STATE_PATH", str(state_file))
-    monkeypatch.setattr(parity, "LEDGER_PATH", str(ledger))
+    monkeypatch.setattr(greens, "LEDGER_PATH", str(ledger))
 
     specs = load_all()
     key = next(iter(specs))

@@ -452,7 +452,10 @@ def test_lloyd_tie_breaks_to_smallest_centroid_and_keeps_empty():
     """The cross-engine contract's two discrete rules, pinned without
     Spark: an exactly-equidistant point joins the SMALLEST centroid id
     (the oracle's row_number tie on cid), and a centroid whose cluster
-    empties keeps its previous position (the oracle's LEFT JOIN CASE)."""
+    GENUINELY empties keeps its previous position (the oracle's LEFT
+    JOIN CASE — duplicate init vectors force every point to c0, so a
+    'zero/reseed the empty centroid' regression is distinguishable
+    from the keep rule)."""
     from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
 
     # init: c0 = v1 = (0,0), c1 = v2 = (2,0); v3 = (1,0) is EXACTLY
@@ -462,23 +465,35 @@ def test_lloyd_tie_breaks_to_smallest_centroid_and_keeps_empty():
     assert cents[0] == [0.5, 0.0]
     assert cents[1] == [2.0, 0.0]
 
-    # all points collapse onto c0 -> c1's cluster empties -> c1 stays
-    cents = lloyd_train([(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [0.1, 0.0]),
-                        (4, [0.2, 0.0])], k=2, iters=2)
-    assert cents[1] == [10.0, 0.0]  # singleton cluster: mean == itself
-    # c0's mean over members in vec_id order: sequential (0.0+0.1+0.2)/3
-    assert cents[0] == [(0.0 + 0.1 + 0.2) / 3, 0.0]
-
-
-def test_lloyd_knife_margin_is_magnitude_relative():
-    """1e8-scale entries: the BLAS einsum error (~1e4 absolute) dwarfs
-    any absolute epsilon; the relative margin must still route the
-    equidistant point through the exact sequential recompute."""
-    from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
-
-    s = 1e8
-    cents = lloyd_train([(1, [0.0, 0.0]), (2, [2.0 * s, 0.0]), (3, [s, 0.0])],
+    # DUPLICATE init vectors: c0 == c1 == (2,1), so every point (incl.
+    # both init members) ties and joins c0 -> c1's cluster is EMPTY on
+    # iteration 1 and must keep its nonzero init position
+    cents = lloyd_train([(1, [2.0, 1.0]), (2, [2.0, 1.0]), (3, [5.0, 0.0])],
                         k=2, iters=1)
-    # tie at huge magnitude -> smallest cid wins, mean is exact
-    assert cents[0] == [(0.0 + s) / 2, 0.0]
-    assert cents[1] == [2.0 * s, 0.0]
+    assert cents[1] == [2.0, 1.0]  # kept, not zeroed/reseeded
+    assert cents[0] == [(2.0 + 2.0 + 5.0) / 3, (1.0 + 1.0 + 0.0) / 3]
+
+
+def test_rel_margin_dominates_blocked_fold_error():
+    """The knife-edge margin must be magnitude-RELATIVE: at every
+    scale it has to dominate the blocked-vs-sequential summation error
+    (~dim·eps·scale for dim ≤ 64) while an absolute 1e-9 epsilon —
+    the bug a review pass caught — falls below that error beyond
+    scale ~1e5 and silently stops routing near-ties through the exact
+    recompute."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.functions.crosshash import rel_margin
+
+    dim, eps = 64, np.finfo(np.float64).eps
+    for scale in (1.0, 1e2, 1e8, 1e16, 1e18):
+        fold_error = dim * eps * scale
+        m = float(rel_margin(scale))
+        assert m > 10 * fold_error, (scale, m, fold_error)
+    # small-scale floor: stays a tight absolute 1e-9, and an absolute
+    # implementation is provably NOT what's in place at large scale
+    assert float(rel_margin(0.5)) == 1e-9
+    assert float(rel_margin(1e18)) == pytest.approx(1e9)  # absolute: 1e-9
+    # array form used by the hot paths
+    arr = rel_margin(np.array([1.0, 1e18]))
+    assert float(arr[0]) == 1e-9 and float(arr[1]) == pytest.approx(1e9)

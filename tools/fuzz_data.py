@@ -19,11 +19,14 @@ Profiles:
   dirty — additionally plants NaN/±Inf/NULL in the columns whose
     cleaning contract covers them (events.value, acctbals,
     o_totalprice) plus a zero embedding vector (cosine 0/0),
-    empty-JSON props rows, and a NULL documents.text row (round 4:
-    caught six cross-engine divergences — nullable int metrics
-    canonicalize as floats, and Spark's size(split(NULL)) = -1 vs
-    SQL NULL — all fixed by the "NULL text ≡ empty document" rule in
-    the per-doc metric queries).
+    empty-JSON props rows, and NULL documents.text/lang/source rows
+    (round 4: caught EIGHT cross-engine divergences — six from NULL
+    text: nullable int metrics canonicalize as floats, Spark's
+    size(split(NULL)) = -1 vs SQL NULL; two from the NULL key wave:
+    the minhash oracle's array_to_string NULL-propagation vs Spark's
+    concat_ws fold, and a len(None) crash in the multimodal Pandas
+    extractor — all fixed by the "NULL text ≡ empty document" rule on
+    metric/payload paths, NULL propagation kept on dedup paths).
 
 Usage:
     python tools/fuzz_data.py --out /tmp/fuzz_sf --seed 7 [--profile dirty]

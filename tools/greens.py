@@ -43,6 +43,12 @@ from parquet_to_hyper_app_spark.registry import QuerySpec, load_all  # noqa: E40
 
 STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "green_state.json")
 
+#: committed ledger of hash-green LOCAL parity passes at the driver's
+#: correctness scale — written by tools/parity.py, cleared by record()
+#: (single constant shared by both so the writer and the expirer can
+#: never drift apart)
+LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "local_parity.json")
+
 #: the driver's per-round value-check budget
 BUDGET = 50
 
@@ -106,9 +112,8 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
     # ledger lets a budget-overflow key defer its driver row ONE round,
     # not forever — each round's local passes must be re-earned after
     # the round's driver run is folded in
-    ledger_path = os.path.join(os.path.dirname(STATE_PATH), "local_parity.json")
-    if os.path.exists(ledger_path):
-        with open(ledger_path, "w") as f:
+    if os.path.exists(LEDGER_PATH):
+        with open(LEDGER_PATH, "w") as f:
             f.write("{}\n")
     for key, row in rows.items():
         if key not in specs:

@@ -27,15 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from parquet_to_hyper_app_spark.catalog import TABLE_NAMES  # noqa: E402
 from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
 from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
-from tools.greens import fingerprint  # noqa: E402
+from tools.greens import LEDGER_PATH, fingerprint  # noqa: E402
 
-#: committed ledger of hash-green LOCAL parity passes at the driver's
-#: correctness scale (sf0.01): key → fingerprint that passed. When the
+#: LEDGER_PATH (defined in tools.greens so the writer here and the
+#: round-boundary expirer in greens.record can never point at
+#: different files): key → fingerprint that passed a hash-green LOCAL
+#: parity run at the driver's correctness scale (sf0.01). When the
 #: hot-key count exceeds the driver's 50-row budget, the tripwire
 #: (tests/test_green_tripwire.py) accepts the overflow ONLY for keys
-#: whose CURRENT fingerprint has a recorded pass here — "verified
-#: locally, driver row deferred one round" instead of "unverified".
-LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "local_parity.json")
+#: whose CURRENT fingerprint has a recorded pass — "verified locally,
+#: driver row deferred one round" instead of "unverified".
 
 
 def record_local_passes(passed: dict[str, str], sf_dir: str) -> None:
