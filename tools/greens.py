@@ -22,15 +22,19 @@ green. This tool makes staleness mechanical instead of remembered:
   start of the next round, before editing anything) and clears
   ``force_recheck`` entries that got a fresh row.
 
-Fingerprints hash the registered function only — helpers and shared
-plumbing (e.g. streaming/source.py) are invisible to it. When editing
-those, add the dependent keys to ``force_recheck`` by hand; the test
-only keeps you honest about keys the hash CAN see.
+Fingerprints cover each key's TRANSITIVE MODULE SET (round-4 verdict
+item 3): the sha256 of the defining module's file content plus every
+repo-local module it imports, recursively, plus the oracle SQL. Editing
+(or deleting) a shared helper — streaming/source.py, crosshash.py,
+catalog.py — therefore flips every dependent key to
+"edited-since-green" automatically; ``force_recheck`` remains only as a
+manual escape hatch for non-code dependencies (e.g. testdata regen).
 """
 
 from __future__ import annotations
 
 import argparse
+import ast
 import hashlib
 import inspect
 import json
@@ -53,9 +57,112 @@ LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "local_pa
 BUDGET = 50
 
 
+_PKG = "parquet_to_hyper_app_spark"
+_PKG_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), _PKG)
+
+
+def _module_path(name: str) -> str | None:
+    """Resolve a dotted repo-local module name to its source file."""
+    if name != _PKG and not name.startswith(_PKG + "."):
+        return None
+    rel = name.split(".")[1:]
+    base = os.path.join(_PKG_ROOT, *rel)
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _local_imports(path: str, pkg_of: str) -> set[str]:
+    """Repo-local modules imported by the file at ``path``.
+
+    ``from a.b import c`` resolves to module ``a.b.c`` when that file
+    exists (submodule import) and to ``a.b`` otherwise (attribute
+    import) — either way the edit surface is captured.
+    """
+    with open(path, "rb") as f:
+        tree = ast.parse(f.read())
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if _module_path(alias.name):
+                    found.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative import: resolve against the package
+                base = pkg_of.rsplit(".", node.level - 1)[0] if node.level > 1 else pkg_of
+                mod = f"{base}.{node.module}" if node.module else base
+            else:
+                mod = node.module or ""
+            if not _module_path(mod):
+                continue
+            for alias in node.names:
+                sub = f"{mod}.{alias.name}"
+                found.add(sub if _module_path(sub) else mod)
+    return found
+
+
+_CLOSURE_CACHE: dict[str, tuple[tuple[str, str], ...]] = {}
+
+
+def _module_closure(module: str) -> tuple[tuple[str, str], ...]:
+    """Sorted (module, file-sha256) pairs for the transitive repo-local
+    import closure of ``module``. Memoized per process."""
+    if module in _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[module]
+    seen: dict[str, str] = {}
+    stack = [module]
+    while stack:
+        mod = stack.pop()
+        if mod in seen:
+            continue
+        path = _module_path(mod)
+        if path is None:
+            continue
+        with open(path, "rb") as f:
+            seen[mod] = hashlib.sha256(f.read()).hexdigest()
+        pkg = mod if os.path.basename(path) == "__init__.py" else mod.rsplit(".", 1)[0]
+        stack.extend(_local_imports(path, pkg))
+    out = tuple(sorted(seen.items()))
+    _CLOSURE_CACHE[module] = out
+    return out
+
+
 def fingerprint(spec: QuerySpec) -> str:
+    h = hashlib.sha256()
+    for mod, sha in _module_closure(spec.fn.__module__):
+        h.update(f"{mod}:{sha}\n".encode())
+    h.update(inspect.getsource(spec.fn).encode())
+    h.update(b"\n")
+    h.update((spec.oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
+def _legacy_fingerprint(spec: QuerySpec) -> str:
+    """Pre-r5 scheme (function source + oracle only) — kept solely so
+    ``--migrate`` can tell "unchanged since green" from "drifted" when
+    re-stamping the ledger under the transitive-closure scheme."""
     src = inspect.getsource(spec.fn)
     return hashlib.sha256((src + "\n" + (spec.oracle or "")).encode()).hexdigest()[:16]
+
+
+def migrate(specs: dict[str, QuerySpec], state: dict) -> tuple[int, int]:
+    """Re-stamp greens recorded under the legacy scheme with the new
+    transitive fingerprint — only where the legacy hash still matches
+    (i.e. the key is provably unchanged since its driver row). Keys
+    that drifted under the old scheme keep their stale stamp and stay
+    hot. Returns (restamped, left_drifted)."""
+    restamped = drifted = 0
+    for key, g in state["greens"].items():
+        spec = specs.get(key)
+        if spec is None:
+            continue
+        if g["fingerprint"] == _legacy_fingerprint(spec):
+            g["fingerprint"] = fingerprint(spec)
+            restamped += 1
+        elif g["fingerprint"] != fingerprint(spec):
+            drifted += 1
+    return restamped, drifted
 
 
 def load_state() -> dict:
@@ -141,6 +248,12 @@ def main() -> int:
     ap.add_argument("--record", help="CORRECTNESS_rNN.json to fold into green_state")
     ap.add_argument("--round", type=int, help="round number for --record")
     ap.add_argument("--force", nargs="*", default=None, help="keys to add to force_recheck")
+    ap.add_argument(
+        "--migrate",
+        action="store_true",
+        help="re-stamp legacy (function-source-only) fingerprints with "
+        "the transitive-closure scheme where the key is unchanged",
+    )
     ap.add_argument("--priority", action="store_true", help="print the generated check order")
     ap.add_argument(
         "--emit",
@@ -163,6 +276,11 @@ def main() -> int:
         save_state(state)
         print(f"recorded {len(rows)} rows into {STATE_PATH}")
 
+    if args.migrate:
+        restamped, drifted = migrate(specs, state)
+        save_state(state)
+        print(f"migrated {restamped} fingerprints; {drifted} left drifted (stay hot)")
+
     if args.force is not None:
         state["force_recheck"] = sorted(set(state["force_recheck"]) | set(args.force))
         save_state(state)
@@ -176,7 +294,9 @@ def main() -> int:
             f.write("\n")
         print(f"wrote {len(ordered)} keys ({len(reason)} hot) to {out}")
 
-    if args.priority or (not args.record and args.force is None and not args.emit):
+    if args.priority or (
+        not args.record and args.force is None and not args.emit and not args.migrate
+    ):
         ordered, reason = priority(specs, state)
         for i, key in enumerate(ordered):
             tag = reason.get(key, "")
