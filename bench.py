@@ -67,6 +67,21 @@ def main() -> int:
     specs = load_all()
     spark = build_session("bench")
 
+    # BENCH_r04's tail was wall-to-wall "AQE is not supported in
+    # stateful workloads" — structural per-query-start noise from every
+    # streaming bench rep that buried any REAL warn (spill, skew,
+    # broadcast timeout). Silence exactly those two loggers; every
+    # other logger stays at default level so real warns surface.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
     # warm every query ONCE on the *target* sf_dir — the warm-up runs
     # the exact plan that gets timed (same file listing, same parquet
     # footers in page cache, same codegen'd splits), so the timed

@@ -550,7 +550,27 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
             "pos", "ph"
         ),
     )
-    pa = pref.select(
+    # ASYMMETRIC probe/index join (PPJoin proper, r5): order every pair
+    # by (n, doc_id); the SMALLER doc joins from its mid-prefix only,
+    # the larger from its full half-prefix. Lossless for the pair
+    # because its SMALLEST common bigram w survives both sides (any
+    # other shared prefix element may be filtered; w alone emits the
+    # pair). With α = ceil((n_a+n_b)/3) the required overlap
+    # (J ≥ t ⟺ |∩| ≥ t/(1+t)·|∪| ⟹ |∩| ≥ α at t = 0.5):
+    # - smaller doc a (n_a ≤ n_b): rank_a(w) ≤ n_a − α + 1 ≤
+    #   n_a − ceil(2·n_a/3) + 1 ≈ n_a/3 + 1 — the mid-prefix;
+    # - larger doc b: the size-ratio residual (J ≥ 0.5 forces
+    #   n_b ≤ 2·n_a) gives |∩| ≥ (n_a+n_b)/3 ≥ n_b/2, so rank_b(w) ≤
+    #   floor(n_b/2) + 1 — exactly the emitted half-prefix.
+    # Versus r4 (both sides full half-prefix, mid-prefix as a
+    # POST-join filter) the a-side join input shrinks by ~a third and
+    # per-token pair volume drops from df²/2 to ~df_mid·df_full/2 —
+    # the prune now cuts rows BEFORE the join materializes them, which
+    # is what the x8 scale curve tracks. Same filters, earlier stage;
+    # the exhaustive-join oracle still proves losslessness by hash.
+    pa = pref.filter(
+        F.col("pos") + 1 <= F.col("n") - F.expr("(2*n + 2) div 3") + 1
+    ).select(
         F.col("doc_id").alias("id_a"),
         "lang",
         F.col("n").alias("n_a"),
@@ -567,33 +587,24 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     na, nb, ra, rb = F.col("n_a"), F.col("n_b"), F.col("ra"), F.col("rb")
     cand = (
         pa.join(pb, ["lang", "ph"])
+        # pair orientation: a is the (n, doc_id)-smaller doc — each
+        # unordered pair is generated exactly once, in one orientation
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # size-ratio residual: J >= 0.5 forces max(n)/min(n) <= 2
-            & (na <= 2 * nb)
-            & (nb <= 2 * na)
+            (na < nb) | ((na == nb) & (F.col("id_a") < F.col("id_b")))
         )
-        # PPJoin prunes, both lossless for the pair because the pair's
-        # SMALLEST common bigram w always survives them (any other
-        # shared prefix element may be filtered; w alone emits the
-        # pair). With α = ceil((n_a+n_b)/3) the required overlap
-        # (J ≥ t ⟺ |∩| ≥ t/(1+t)·|∪| ⟹ |∩| ≥ α at t = 0.5):
-        # 1. mid-prefix: in the SMALLER doc (n_s ≤ n_l), rank(w) ≤
-        #    n_s − α + 1 ≤ n_s − ceil(2·n_s/3) + 1 ≈ n_s/3 + 1 — a
-        #    third of the emitted half-prefix, so common bigrams deep
-        #    in both prefixes stop generating candidates;
-        # 2. positional: only elements at rank r can be in the overlap
-        #    if 1 + min(n_a − r_a, n_b − r_b) ≥ α (what remains after
-        #    the join element bounds |∩| from above).
-        # Cuts candidates 1.38M → 0.87M on the sf0.1 corpus before the
-        # distinct shuffle and the verify joins — candidate volume is
-        # what this operator's scale posture lives or dies by.
-        .filter(
-            ((na <= nb) & (ra <= na - F.expr("(2*n_a + 2) div 3") + 1))
-            | ((nb <= na) & (rb <= nb - F.expr("(2*n_b + 2) div 3") + 1))
-        )
+        # size-ratio residual: J >= 0.5 forces n_b <= 2·n_a (n_a <= n_b
+        # already holds by orientation)
+        .filter(nb <= 2 * na)
+        # positional prune: an element at rank r can witness the
+        # overlap only if 1 + min(n_a − r_a, n_b − r_b) ≥ α (what
+        # remains after the joined element bounds |∩| from above)
         .filter(1 + F.least(na - ra, nb - rb) >= F.expr("(n_a + n_b + 2) div 3"))
-        .select("id_a", "id_b")
+        # normalize back to the id_a < id_b output contract (the
+        # orientation above ordered by size, not id)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
     )
     # pair dedup at a PINNED partition width, not `.distinct()`: the
     # candidate set is small in bytes (two longs/row) but the verify
