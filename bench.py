@@ -97,22 +97,33 @@ def main() -> int:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for key in HEADLINE:
         fn = specs[key].fn
-        best = float("inf")
         # best-of-5: mask GC/JIT-deopt spikes. Raised from 3 after the
         # r3 convert_sink reading (1.82 s best-of-3) failed to reproduce
         # in isolation (8× clean-dir reps: min 1.20 s, median 1.36 s —
         # ambient load, not a regression; a dirty overwrite dir measured
         # no slower, so no per-rep sink cleanup is needed).
+        reps: list[float] = []
         for _rep in range(5):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings[key] = round(reps[0], 3)
+        # [min, median, max] — lets a reader tell a real regression
+        # (median moved) from ambient-load noise (max moved) without
+        # re-running; the verdict-r4 regression triage needed exactly
+        # this and had to re-measure out-of-band (r4 item 4)
+        spread[key] = [round(reps[0], 3), round(reps[2], 3), round(reps[4], 3)]
         if verbose:
-            print(f"{key}: {timings[key]:.2f}s", file=sys.stderr)
+            print(
+                f"{key}: {timings[key]:.2f}s (p50 {spread[key][1]:.2f}, "
+                f"max {spread[key][2]:.2f})",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -122,6 +133,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -133,8 +133,27 @@ def compare(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--cluster-defaults",
+        action="store_true",
+        help="conf-sensitivity sweep (VERDICT r4 item 7): run with the "
+        "cluster-default tuning confs — shuffle.partitions=200, "
+        "maxPartitionBytes=128m, streaming state partitions=200 (makes "
+        "stream_shuffle_scope a no-op) — instead of the local-bench "
+        "sizing, proving no correctness result depends on local tuning. "
+        "Semantics confs (REQUIRED_SQL_CONFS) always apply: they define "
+        "engine behavior, not placement.",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
+
+    if args.cluster_defaults:
+        # must precede the streaming module's import-time read
+        os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = "200"
+        os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = "128m"
+        import parquet_to_hyper_app_spark.streaming.source as _stream_src
+
+        _stream_src.STREAM_SHUFFLE_PARTITIONS = 200  # already imported above
 
     specs = load_all()
     keys = args.keys or list(specs)
@@ -143,7 +162,9 @@ def main() -> int:
         print(f"unknown keys: {unknown}")
         return 2
 
-    spark = build_session("parity")
+    spark = build_session(
+        "parity", shuffle_partitions=200 if args.cluster_defaults else None
+    )
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
