@@ -532,23 +532,22 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # prefixes fill with the RAREST bigrams first
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
     df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        occ.join(df_tab, ["lang", "h"])
-        .groupBy("doc_id", "lang", "n")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("rk"))
-    )
     # J >= 0.5 ⇒ the smallest common bigram lies within the first
-    # n - ceil(n/2) + 1 = floor(n/2) + 1 ranked bigrams of BOTH docs;
-    # posexplode carries each prefix element's 1-based rank for the
-    # PPJoin-style pruning below
-    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(0.5)) + 1).cast("int")
-    pref = ranked.select(
-        "doc_id",
-        "lang",
-        "n",
-        F.posexplode(F.slice(F.transform("rk", lambda x: x["h"]), 1, plen)).alias(
-            "pos", "ph"
-        ),
+    # n - ceil(n/2) + 1 = floor(n/2) + 1 ranked bigrams of BOTH docs.
+    # Rank with a per-doc window + filter instead of the r4
+    # collect_list(sort_array) + slice + posexplode: the window sorts
+    # the same (doc_id)-clustered rows but emits prefix ROWS directly —
+    # no full per-doc array materialization for elements the slice
+    # would drop, one shuffle either way.
+    w_doc = W.partitionBy("doc_id").orderBy("df", "h")
+    pref = (
+        occ.join(df_tab, ["lang", "h"])
+        .withColumn("pos", F.row_number().over(w_doc) - 1)
+        .filter(
+            F.col("pos")
+            < (F.col("n") - F.ceil(F.col("n") * F.lit(0.5)) + 1).cast("int")
+        )
+        .select("doc_id", "lang", "n", "pos", F.col("h").alias("ph"))
     )
     # ASYMMETRIC probe/index join (PPJoin proper, r5): order every pair
     # by (n, doc_id); the SMALLER doc joins from its mid-prefix only,
