@@ -7,12 +7,12 @@ green. This tool makes staleness mechanical instead of remembered:
 
 - ``green_state.json`` (committed, next to this file) records, per key,
   the round of its last non-failing driver row and the FINGERPRINT
-  (sha256 of the registered function's source + its oracle SQL) the
-  code had when that row was recorded.
+  (transitive-closure hash, see below) the code had when that row was
+  recorded.
 - ``--priority`` regenerates the check order from that state:
   tier 1 = never driver-checked, tier 2 = fingerprint drift since last
-  green (plus ``force_recheck`` entries for cross-module dependency
-  edits the function-source hash can't see), tier 3 = last row failed,
+  green (plus manual ``force_recheck`` entries for non-code
+  dependencies, e.g. testdata regeneration), tier 3 = last row failed,
   tier 4 = everything else, oldest green round first (rotation), ties
   in registry order. `__spark_entry__._CHECK_PRIORITY` is a verbatim
   copy of this output; tests/test_green_tripwire.py fails if they
