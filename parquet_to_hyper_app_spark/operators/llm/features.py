@@ -11,6 +11,8 @@ whose arithmetic the DuckDB oracle replays bit-exactly — so
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,6 +161,18 @@ _KM_ITERS = 3
 _KM_SAMPLE = 2048
 
 
+def _sql_double(x: float) -> str:
+    """Render a Python float as a Spark SQL double literal, including
+    the non-finite values repr() cannot express (review r5: a NaN
+    embedding in the training sample propagated into a centroid mean
+    and f'{x!r}D' emitted the unparseable identifier 'nanD')."""
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
                 iters: int = _KM_ITERS) -> list[list[float]]:
     """Deterministic fixed-iteration Lloyd's over an ORDERED sample.
@@ -186,11 +200,20 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         c_arr = np.array(cents)
         diff = mats[:, None, :] - c_arr[None, :, :]
         d2 = np.einsum("nkd,nkd->nk", diff, diff)
-        # NaN distances (NaN embedding entries) rank GREATEST, matching
-        # both DuckDB's sort order and Spark's total-order comparisons
-        # (np.argmin would otherwise return the first NaN position)
-        d2 = np.where(np.isnan(d2), np.inf, d2)
+        # NaN distances (NaN embedding entries) rank GREATEST — even
+        # above a real +inf — matching DuckDB's sort order and Spark's
+        # total-order comparisons. np.argmin would otherwise return the
+        # first NaN position; substituting inf handles NaN-vs-finite,
+        # and the repair loop below fixes the residual NaN-vs-real-inf
+        # TIE (argmin may land on a NaN column only when every real
+        # column is +inf; DuckDB then picks the first REAL column).
+        nan_mask = np.isnan(d2)
+        d2 = np.where(nan_mask, np.inf, d2)
         assign = np.argmin(d2, axis=1)
+        for r in np.nonzero(nan_mask[np.arange(len(assign)), assign])[0]:
+            real = np.nonzero(~nan_mask[r])[0]
+            if len(real):  # all-NaN rows keep column 0, like DuckDB
+                assign[r] = real[0]
         if k > 1:
             part = np.partition(d2, 1, axis=1)
             # magnitude-RELATIVE knife margin (rel_margin docstring):
@@ -202,19 +225,22 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         else:
             knife = []
         for r in knife:
-            best_j, best_d = -1, float("inf")
+            best_j, best_d, best_nan = -1, float("inf"), True
             for j in range(k):
                 s = 0.0
                 for di in range(dim):
                     t = float(mats[r, di]) - cents[j][di]
                     s += t * t
-                if s != s:  # NaN fold → ranks greatest (see d2 above)
+                s_nan = s != s  # NaN fold → ranks greatest (see d2 above)
+                if s_nan:
                     s = float("inf")
                 # strict < keeps the smallest j on ties; the best_j
                 # seed guards the all-inf/all-NaN row (strict < alone
-                # would leave -1 where DuckDB's row_number picks cid 0)
-                if s < best_d or best_j == -1:
-                    best_j, best_d = j, s
+                # would leave -1 where DuckDB's row_number picks cid 0);
+                # the tie clause lets a REAL +inf displace a NaN-as-inf
+                # (DuckDB ranks inf strictly below NaN)
+                if s < best_d or best_j == -1 or (s == best_d and best_nan and not s_nan):
+                    best_j, best_d, best_nan = j, s, s_nan
             assign[r] = best_j
         for j in range(k):
             rows = np.nonzero(assign == j)[0]
@@ -345,7 +371,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank BIGINT, recall_at_k DOUBLE",
         )
     cents_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in cents
+        "array(" + ", ".join(_sql_double(x) for x in c) + ")" for c in cents
     ) + ")"
     # nearest centroid, sequential (x−c)² fold per centroid, tie → the
     # earliest (smallest) centroid id via the strict-< running min.

@@ -60,6 +60,16 @@ def test_deleting_a_helper_changes_the_closure(fake_pkg, monkeypatch):
     assert "fakepkg.helper" not in dict(after)
 
 
+def test_closure_includes_ancestor_packages(fake_pkg, monkeypatch):
+    """Review r5: Python executes every ancestor __init__ on import (the
+    root one carries real re-export code), so they are edit surface."""
+    mods = dict(_closure(monkeypatch))
+    assert "fakepkg" in mods, "root package __init__ must be in the closure"
+    assert "fakepkg.deep" in mods, "intermediate package __init__ must be in the closure"
+    (fake_pkg / "__init__.py").write_text("NEW = 1\n")
+    assert dict(_closure(monkeypatch)) != mods
+
+
 def test_real_keys_see_shared_plumbing():
     """The concrete r2–r4 failure modes: streaming keys must cover the
     shared streaming source helper; LSH keys must cover crosshash."""
@@ -70,20 +80,25 @@ def test_real_keys_see_shared_plumbing():
     assert any(".streaming." in m or m.endswith(".streaming") for m in stream), sorted(stream)
     # the registry itself (decorator semantics) is always covered
     assert any(m.endswith("registry") for m in lsh)
+    # ancestor packages too (root __init__ has real re-export code)
+    assert "parquet_to_hyper_app_spark" in lsh
 
 
 def test_migrate_restamps_only_unchanged_keys():
     specs = load_all()
-    k1, k2 = list(specs)[:2]
+    k1, k2, k3 = list(specs)[:3]
     legacy1 = greens._legacy_fingerprint(specs[k1])
+    v1_closure3 = greens.fingerprint(specs[k3], _ancestors=False)
     state = {
         "greens": {
             k1: {"round": 3, "fingerprint": legacy1, "weak": False, "failed": False},
             k2: {"round": 3, "fingerprint": "0" * 16, "weak": False, "failed": False},
+            k3: {"round": 4, "fingerprint": v1_closure3, "weak": False, "failed": False},
         },
         "force_recheck": [],
     }
     restamped, drifted = greens.migrate(specs, state)
-    assert (restamped, drifted) == (1, 1)
+    assert (restamped, drifted) == (2, 1)
     assert state["greens"][k1]["fingerprint"] == greens.fingerprint(specs[k1])
     assert state["greens"][k2]["fingerprint"] == "0" * 16  # stays hot
+    assert state["greens"][k3]["fingerprint"] == greens.fingerprint(specs[k3])

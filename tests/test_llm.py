@@ -525,17 +525,24 @@ def test_kmeans_ivf_empty_embeddings(spark, tmp_path):
 
 
 def test_kmeans_assign_seeds_on_all_nan_distances(spark):
-    """Advisor r4: a vector whose every centroid distance is NaN must be
-    assigned centroid 0 (DuckDB row_number semantics), never -1."""
-    import numpy as np
+    """Advisor r4 + review r5: NaN distances rank GREATEST in the numpy
+    training path (np.argmin would otherwise treat NaN as the minimum
+    and funnel every vector into a NaN-poisoned centroid), and the
+    Spark fold assigns centroid 0, never -1, when all distances are
+    NaN."""
+    import math
 
     from parquet_to_hyper_app_spark.operators.llm.features import lloyd_train
 
-    # numpy path: one NaN vector among real ones — must get a real id
-    sample = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [float("nan"), 1.0])]
+    # init centroids are the first k sample vectors, so centroid 0 IS
+    # the NaN vector: every doc's distance to c0 is NaN. The buggy
+    # argmin assigned ALL vectors to c0 (centroids [nan, 10/3] and an
+    # emptied c1 frozen at [10, 10]); NaN-ranks-greatest assigns the
+    # real vectors to c1 instead, whose mean must come out [5, 5].
+    sample = [(0, [float("nan"), 0.0]), (1, [10.0, 10.0]), (2, [0.0, 0.0])]
     cents = lloyd_train(sample, k=2, iters=1)
-    assert len(cents) == 2
-    assert all(np.isfinite(c).all() or True for c in cents)
+    assert cents[1] == [5.0, 5.0]
+    assert math.isnan(cents[0][0]) and cents[0][1] == 0.0
 
     # Spark fold path: replicate the assign_expr shape with NaN input
     row = spark.sql(
@@ -551,3 +558,35 @@ def test_kmeans_assign_seeds_on_all_nan_distances(spark):
            ).j AS j"""
     ).collect()[0]
     assert row.j == 0
+
+
+def test_kmeans_ivf_nan_embedding_in_sample(spark, tmp_path):
+    """Review r5: a NaN embedding inside the training sample propagates
+    into a centroid mean; the SQL literal builder must render it as
+    CAST('NaN' AS DOUBLE), not the unparseable 'nanD'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _sql_double,
+        similarity_kmeans_ivf,
+    )
+
+    assert _sql_double(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert _sql_double(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert _sql_double(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert _sql_double(1.5) == "1.5D"
+
+    vecs = [[float(i), float(i % 7), 1.0, 0.5] for i in range(60)]
+    vecs[0][0] = float("nan")  # poisons centroid 0's mean via training
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 60, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = similarity_kmeans_ivf(spark, str(tmp_path))
+    out.collect()  # must not raise AnalysisException on 'nanD'
+    assert out.columns == ["q_id", "neighbor_id", "cos_sim", "rank", "recall_at_k"]

@@ -118,14 +118,14 @@ def _local_imports(path: str, pkg_of: str, skip_function_bodies: bool = False) -
     return found
 
 
-_CLOSURE_CACHE: dict[str, tuple[tuple[str, str], ...]] = {}
+_CLOSURE_CACHE: dict[tuple[str, bool], tuple[tuple[str, str], ...]] = {}
 
 
-def _module_closure(module: str) -> tuple[tuple[str, str], ...]:
+def _module_closure(module: str, _ancestors: bool = True) -> tuple[tuple[str, str], ...]:
     """Sorted (module, file-sha256) pairs for the transitive repo-local
     import closure of ``module``. Memoized per process."""
-    if module in _CLOSURE_CACHE:
-        return _CLOSURE_CACHE[module]
+    if (module, _ancestors) in _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[(module, _ancestors)]
     seen: dict[str, str] = {}
     stack = [module]
     while stack:
@@ -137,16 +137,24 @@ def _module_closure(module: str) -> tuple[tuple[str, str], ...]:
             continue
         with open(path, "rb") as f:
             seen[mod] = hashlib.sha256(f.read()).hexdigest()
+        # Python executes every ancestor package __init__ on import (and
+        # the root one carries real re-export code), so they belong to
+        # the edit surface even though no import statement names them
+        # (review r5; _ancestors=False preserves the first closure
+        # scheme solely for migrate())
+        if _ancestors:
+            parts = mod.split(".")
+            stack.extend(".".join(parts[: i + 1]) for i in range(len(parts) - 1))
         pkg = mod if os.path.basename(path) == "__init__.py" else mod.rsplit(".", 1)[0]
         stack.extend(_local_imports(path, pkg, skip_function_bodies=(mod == f"{_PKG}.registry")))
     out = tuple(sorted(seen.items()))
-    _CLOSURE_CACHE[module] = out
+    _CLOSURE_CACHE[(module, _ancestors)] = out
     return out
 
 
-def fingerprint(spec: QuerySpec) -> str:
+def fingerprint(spec: QuerySpec, _ancestors: bool = True) -> str:
     h = hashlib.sha256()
-    for mod, sha in _module_closure(spec.fn.__module__):
+    for mod, sha in _module_closure(spec.fn.__module__, _ancestors):
         h.update(f"{mod}:{sha}\n".encode())
     h.update(inspect.getsource(spec.fn).encode())
     h.update(b"\n")
@@ -163,17 +171,30 @@ def _legacy_fingerprint(spec: QuerySpec) -> str:
 
 
 def migrate(specs: dict[str, QuerySpec], state: dict) -> tuple[int, int]:
-    """Re-stamp greens recorded under the legacy scheme with the new
-    transitive fingerprint — only where the legacy hash still matches
-    (i.e. the key is provably unchanged since its driver row). Keys
-    that drifted under the old scheme keep their stale stamp and stay
-    hot. Returns (restamped, left_drifted)."""
+    """Re-stamp greens recorded under a SUPERSEDED fingerprint scheme
+    (legacy function-source-only, or the closure scheme without
+    ancestor packages) with the current one — only where the old-scheme
+    hash computed on CURRENT source still matches the stamp, i.e. the
+    code the old scheme could see is unchanged since the driver row.
+    Keys that drifted under the old scheme keep their stale stamp and
+    stay hot.
+
+    CAVEAT (review r5): "unchanged" is judged by the OLD scheme's eyes,
+    so an edit only the NEW scheme can see (a shared-helper change
+    between the green row and the migration) is laundered as fresh.
+    Run migrate() only alongside independent evidence for that gap —
+    e.g. a full local parity sweep at driver scale, or the git audit in
+    the migration commit message — and force_recheck anything flagged.
+    Returns (restamped, left_drifted)."""
     restamped = drifted = 0
     for key, g in state["greens"].items():
         spec = specs.get(key)
         if spec is None:
             continue
-        if g["fingerprint"] == _legacy_fingerprint(spec):
+        if g["fingerprint"] in (
+            _legacy_fingerprint(spec),
+            fingerprint(spec, _ancestors=False),
+        ):
             g["fingerprint"] = fingerprint(spec)
             restamped += 1
         elif g["fingerprint"] != fingerprint(spec):

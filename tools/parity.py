@@ -148,12 +148,18 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.cluster_defaults:
-        # must precede the streaming module's import-time read
+        # the env var governs streaming.source's import-time constant;
+        # nothing has imported it yet (registry only pulls streaming
+        # inside load_all(), which runs below), so setting the env here
+        # is the load-bearing path. The attribute patch is belt and
+        # braces for a future top-level import creeping in ahead of
+        # main() — in that case the env var would arrive too late and
+        # only the patch would apply the override.
         os.environ["SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"] = "200"
         os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"] = "128m"
         import parquet_to_hyper_app_spark.streaming.source as _stream_src
 
-        _stream_src.STREAM_SHUFFLE_PARTITIONS = 200  # already imported above
+        _stream_src.STREAM_SHUFFLE_PARTITIONS = 200
 
     specs = load_all()
     keys = args.keys or list(specs)
