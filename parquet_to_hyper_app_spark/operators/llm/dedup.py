@@ -508,9 +508,13 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     grams = docs.filter(F.col("text").rlike(r"\S")).withColumn("__toks", toks).select(
         "doc_id",
         "lang",
+        # get() instead of [] so the out-of-bounds probe on 1-token docs
+        # yields NULL under ANSI mode too (the registry path runs ANSI
+        # off, but this helper is also called on caller-owned sessions —
+        # property tests caught the [] form throwing INVALID_ARRAY_INDEX)
         F.expr(
             "array_distinct(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
-            " i -> concat_ws(' ', __toks[i-1], coalesce(__toks[i], ''))))"
+            " i -> concat_ws(' ', get(__toks, i-1), coalesce(get(__toks, i), ''))))"
         ).alias("bigrams"),
     )
     # empty/whitespace-only docs: Spark's concat_ws over a missing token

@@ -169,3 +169,43 @@ def test_dedup_exact_unique_hashes(_spark, texts):
     survivors = {r.text: r.doc_id for r in out}
     for text, doc_id in survivors.items():
         assert doc_id == min(i for i, t in rows if t == text)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=12
+    )
+)
+def test_ngram_jaccard_pairs_match_bruteforce(_spark, texts):
+    """The asymmetric PPJoin prefix filter (r5) must be LOSSLESS: the
+    mined pair set equals the exhaustive all-pairs J >= 0.5 result on
+    arbitrary corpora — tiny alphabet forces heavy shingle collisions,
+    the adversarial regime for prefix pruning."""
+    import re
+
+    from parquet_to_hyper_app_spark.operators.llm.dedup import ngram_jaccard_pairs
+
+    def bigrams(text):
+        toks = [t for t in re.split(r"\s+", text.lower().strip()) if t != ""]
+        if not toks:
+            return None  # whitespace-only/empty docs never pair
+        if len(toks) == 1:
+            return {f"{toks[0]} "}  # concat_ws over a missing 2nd token
+        return {f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)}
+
+    grams = {i: bigrams(t) for i, t in enumerate(texts)}
+    expect = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ga, gb = grams[a], grams[b]
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.5:
+                expect.add((a, b))
+
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()}
+    assert got == expect, (sorted(got - expect), sorted(expect - got))
