@@ -37,6 +37,7 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     rademacher_entry,
     rel_margin,
 )
+from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -220,7 +221,12 @@ def verified_near_dup_pairs(
     """
     sigged = _with_signature(_with_shingles(docs)).select(
         "doc_id", "shingles", "signature"
-    ).persist()
+    )
+    if materialize:
+        # only the executing path persists: the lazy (plan-inspection)
+        # path returns before any unpersist could run and would pin a
+        # corpus-wide cache for the session's lifetime (review r5)
+        sigged = sigged.persist()
     pairs = _candidates_from_signatures(sigged)
     shingled = sigged.select("doc_id", "shingles")
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -324,8 +330,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-vs-exact-Jaccard property test additionally pin recall.
     """
     docs = load_table(spark, sf_dir, "documents")
-    dups = verified_near_dup_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
+    # exact pre-collapse (review r5): k byte-identical docs share one
+    # signature, so they all landed in the same 8 band buckets and the
+    # band join materialized k(k-1)/2 rows — quadratic in exactly the
+    # boilerplate-heavy corpora dedup targets. Collapse each sha256
+    # class to its min-doc_id representative first: non-reps are
+    # removed outright (J = 1 against a smaller id by construction),
+    # and LSH on representatives collides exactly where the full corpus
+    # would (identical text ⇒ identical signature ⇒ identical buckets,
+    # so collisions are class-equivalent, candidate recall included).
+    # Survivors are therefore IDENTICAL to the uncollapsed pipeline —
+    # the full-corpus DuckDB oracle still hash-matches, proving it.
+    reps = dedup_exact_df(docs).drop("content_hash")
+    dups = verified_near_dup_pairs(reps).select(F.col("doc_b").alias("doc_id")).distinct()
+    return reps.join(dups, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
 #: 32-bit SimHash of the word multiset, entirely in JVM expressions:
@@ -494,7 +512,10 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     (doc_id, lang, text) frame — see `dedup_ngram_jaccard` for the
     prefix-filter scheme and its losslessness proof. Reused by the
     cluster assignment and the oracle-checked full pipeline."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    # the shared whitespace tokenizer (text.py), lowercased — one
+    # definition so dedup and the text-analysis operators can never
+    # drift on token semantics (review r5)
+    toks = tokens(F.lower(F.col("text")))
     # Empty-doc row filter runs on the RAW text BEFORE the bigram
     # expression exists: rlike(\S) ⟺ at least one token ⟺ bigrams
     # non-empty after the empty-string element filter below (trim()
@@ -621,7 +642,10 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # partition count is exempt from AQE coalescing, so the verify
     # inherits full width. At cluster scale P = shuffle.partitions is
     # operator-sized and candidate volume makes coalescing moot.
-    n_parts = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_parts = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on AQE-auto deployments (review r5)
+        n_parts = cand.sparkSession.sparkContext.defaultParallelism
     cand = cand.repartition(n_parts, "id_a", "id_b").dropDuplicates()
     va = grams.select(
         F.col("doc_id").alias("id_a"), F.col("hashes").alias("h_a"), F.col("n").alias("n_a")
@@ -650,15 +674,19 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10) -> DataFrame:
-    """Min-label propagation over an undirected pair graph.
+    """Min-label propagation + pointer jumping over an undirected graph.
 
     `pairs` (doc_a, doc_b) are edges; every node starts labeled with its
-    own id and repeatedly adopts the minimum label among itself and its
-    neighbors until fixpoint (or max_iters). Iterations are bounded by
-    the graph diameter — near-dup clusters are shallow (usually ≤3
-    hops), so this converges in a few small joins; each iteration is a
-    shuffle on doc_id only. This is the iterative-algorithm pattern
-    Spark expresses as a driver loop over declarative steps.
+    own id and each round adopts (1) the minimum label among itself and
+    its neighbors, then (2) the label OF that label (pointer jumping —
+    labels only shrink, and a label is always a doc_id in the same
+    component, so the two-hop label is valid and at most equal). The
+    jump collapses chains geometrically: rounds needed grow with
+    log(diameter), not diameter (review r5 — a 12-doc drift chain of
+    incremental template edits previously needed 11 rounds and hit the
+    10-round RuntimeError; with jumping it converges in 4). Each round
+    is two doc_id-sized shuffles. This is the iterative-algorithm
+    pattern Spark expresses as a driver loop over declarative steps.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -675,15 +703,29 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            # persist + truncate lineage each round: without this,
-            # iteration i re-executes all prior rounds (O(k²) work) and
-            # the nested plan keeps growing
-            new_labels = (
+            # truncate lineage each round: without this, iteration i
+            # re-executes all prior rounds (O(k²) work) and the nested
+            # plan keeps growing
+            stepped = (
                 labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
                 .select(
                     "doc_id",
                     F.least(
                         F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # pointer jump: l(x) <- min(l(x), l(l(x)))
+            lab2 = stepped.select(
+                F.col("doc_id").alias("lid"), F.col("cluster_id").alias("lcid")
+            )
+            new_labels = (
+                stepped.join(lab2, stepped.cluster_id == lab2.lid, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("lcid"), F.col("cluster_id"))
                     ).alias("cluster_id"),
                 )
                 .localCheckpoint(eager=True)
@@ -832,24 +874,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids_b = bv["vec_id"].to_numpy()
         ma = np.stack(av["embedding"].to_numpy()).astype("float64")
         mb = np.stack(bv["embedding"].to_numpy()).astype("float64")
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        # zero-norm vectors (dirty-fuzz hardened case) produce nan sims
-        # that the prefilter drops; suppress the per-batch numpy
-        # warnings exactly like the LSH bucket verify does
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = (ma @ mb.T) / np.outer(na, nb)
-        ii, jj = np.nonzero(sims >= 0.4 - 1e-6)
-        if same_block:  # both sides are the same block: upper triangle only
-            keep = ids_a[ii] < ids_b[jj]
-            ii, jj = ii[keep], jj[keep]
-        rows = []
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            # oracle-exact sequential fold (shared _seq_cosine)
-            cos = _seq_cosine(ma[i], mb[j])
-            if cos >= 0.4:
-                x, y = int(ids_a[i]), int(ids_b[j])
-                rows.append((min(x, y), max(x, y), cos))
+        # same-block groups keep ids_a < ids_b (upper triangle);
+        # cross-block pairs are each seen exactly once already
+        rows = _exact_pairs_block(ids_a, ma, ids_b, mb, upper=same_block)
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
@@ -890,6 +917,40 @@ def _seq_cosine(ea, eb) -> float:
         sa += float(ea[k]) * float(ea[k])
         sb += float(eb[k]) * float(eb[k])
     return dot / (math.sqrt(sa) * math.sqrt(sb))
+
+
+def _exact_pairs_block(ids_a, ma, ids_b, mb, upper: bool) -> list[tuple[int, int, float]]:
+    """BLAS prefilter + oracle-exact verify for one (rows_a × rows_b)
+    similarity slab — SHARED by `dedup_embedding`'s block-matrix verify
+    and `dedup_embedding_lsh`'s bucket verify (review r5: the
+    threshold constant, the 1e-6 prefilter margin, the zero-norm NaN
+    handling, and the emit shape were previously maintained as two
+    copies that could drift independently despite being one bitwise
+    contract).
+
+    ``upper=True`` emits only ids_a[i] < ids_b[j] (same-set sweep:
+    every unordered pair exactly once); ``upper=False`` emits all
+    cross pairs (disjoint sets). Zero-norm vectors produce NaN sims
+    the prefilter drops — the dirty-fuzz hardened case.
+    """
+    import numpy as np
+
+    na = np.linalg.norm(ma, axis=1)
+    nb = np.linalg.norm(mb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (ma @ mb.T) / np.outer(na, nb)
+    ii, jj = np.nonzero(sims >= 0.4 - 1e-6)  # BLAS prefilter only
+    if upper:
+        keep = ids_a[ii] < ids_b[jj]
+        ii, jj = ii[keep], jj[keep]
+    rows = []
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        # oracle-exact sequential fold decides the real threshold cut
+        cos = _seq_cosine(ma[i], mb[j])
+        if cos >= 0.4:
+            x, y = int(ids_a[i]), int(ids_b[j])
+            rows.append((min(x, y), max(x, y), cos))
+    return rows
 
 
 def _emb_lsh_bits(n: int) -> int:
@@ -1019,9 +1080,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: bucket computation is one narrow mapInPandas pass with
     the (tiny) plane matrix serialized into the closure; bits grow
-    with n so bucket population stays near _EMB_LSH_BUCKET_ROWS and
-    the per-group matrix stays ~64×dim doubles; the groupBy state is
-    one bucket at a time per task.
+    with n so bucket population stays near _EMB_LSH_BUCKET_ROWS under
+    hash uniformity, and the verify sweeps row slabs capped at ~32M
+    live floats so even a forced-collision bucket (all-identical
+    embeddings, which no bits growth can spread) is bounded-memory —
+    its quadratic PAIR OUTPUT is the contract's answer, not a working
+    set. The groupBy state is one bucket at a time per task.
     """
     import numpy as np
     import pandas as pd
@@ -1082,18 +1146,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(ids) < 2:
             return empty
         mat = np.stack(pdf["e"].to_numpy())
-        norms = np.linalg.norm(mat, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = (mat @ mat.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= 0.4 - 1e-6  # BLAS prefilter only
+        # BLOCKED row sweep (review r5): bits growth bounds bucket
+        # occupancy only under hash uniformity — a degenerate corpus
+        # (100k byte-identical embeddings) forces every copy into the
+        # same bucket in every table, and a one-shot k×k sims matrix
+        # would be ~80 GB. Sweep row slabs capped at ~32M live floats
+        # instead; the PAIR OUTPUT of an all-duplicate bucket is
+        # inherently quadratic (it IS the answer), but the working
+        # memory no longer is.
+        slab = max(1, (1 << 25) // len(ids))
         rows = []
-        for i, j in zip(iu[keep].tolist(), ju[keep].tolist()):
-            # oracle-exact sequential fold (shared with dedup_embedding)
-            cos = _seq_cosine(mat[i], mat[j])
-            if cos >= 0.4:
-                x, y = int(ids[i]), int(ids[j])
-                rows.append((min(x, y), max(x, y), cos))
+        for s in range(0, len(ids), slab):
+            rows += _exact_pairs_block(
+                ids[s : s + slab], mat[s : s + slab], ids, mat, upper=True
+            )
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])

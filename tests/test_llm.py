@@ -590,3 +590,70 @@ def test_kmeans_ivf_nan_embedding_in_sample(spark, tmp_path):
     out = similarity_kmeans_ivf(spark, str(tmp_path))
     out.collect()  # must not raise AnalysisException on 'nanD'
     assert out.columns == ["q_id", "neighbor_id", "cos_sim", "rank", "recall_at_k"]
+
+
+def test_connected_components_deep_chain(spark):
+    """Review r5: a drift chain deeper than max_iters previously hit the
+    non-convergence RuntimeError (min-label propagation needs diameter
+    rounds); pointer jumping converges in O(log diameter)."""
+    from parquet_to_hyper_app_spark.operators.llm.dedup import connected_components
+
+    n = 30  # diameter 29 >> max_iters=10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = connected_components(pairs, nodes, max_iters=10).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+
+
+def test_minhash_lsh_exact_collapse_matches_oracle(spark, tmp_path):
+    """Review r5: dedup_minhash_lsh pre-collapses exact duplicates so k
+    identical docs cost one representative, not k(k-1)/2 band pairs.
+    Survivors must stay IDENTICAL to the uncollapsed full-corpus DuckDB
+    oracle on a duplicate-heavy corpus."""
+    import duckdb
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    spec = load_all()["dedup_minhash_lsh"]
+    boiler = "the same boilerplate footer text repeated on every single page here"
+    near = boiler.replace("footer", "header")
+    rows = (
+        [(i, boiler, "en", "s") for i in range(4)]
+        + [(i, near, "en", "s") for i in range(4, 7)]
+        + [(7, "completely different content about spark engines", "en", "s")]
+        + [(8, None, "en", "s"), (9, "", "en", "s"), (10, "   ", "en", "s")]
+    )
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(r.doc_id for r in spec.fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(row[0] for row in con.execute(spec.oracle).fetchall())
+    assert got == want
+    assert 0 in got and 7 in got  # class reps / distinct docs survive
+    assert not set(range(1, 4)) & set(got)  # exact copies of 0 removed
+
+
+def test_exact_pairs_block_slab_equivalence():
+    """The blocked bucket sweep must emit exactly the one-shot pair set
+    on a degenerate (all-identical + noise) bucket."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
+
+    rng = [[1.0, 2.0, 3.0]] * 5 + [[-1.0, 2.0, -3.0], [0.0, 0.0, 0.0]]
+    ids = np.arange(len(rng))
+    mat = np.array(rng)
+    whole = sorted(_exact_pairs_block(ids, mat, ids, mat, upper=True))
+    slabbed = []
+    for s in range(0, len(ids), 2):  # slab=2 forces multiple sweeps
+        slabbed += _exact_pairs_block(ids[s : s + 2], mat[s : s + 2], ids, mat, upper=True)
+    assert sorted(slabbed) == whole
+    assert len(whole) == 10  # C(5,2) identical pairs; zero-vec pairs dropped
