@@ -110,15 +110,21 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "retention_cohorts",
     oracle="""
-    WITH firsts AS (
-        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-        FROM events GROUP BY user_id
+    WITH marked AS (
+        -- window, not GROUP BY + equi-join: a NULL user_id forms one
+        -- partition here exactly as it does in Spark's window, while
+        -- the former `JOIN ... ON e.user_id = f.user_id` silently
+        -- dropped NULL-keyed rows Spark kept (dirty fuzz, r5)
+        SELECT user_id, ts,
+               date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                   AS cohort_week
+        FROM events
     ),
     activity AS (
-        SELECT DISTINCT e.user_id, f.cohort_week,
-               CAST(date_diff('day', f.cohort_week,
-                              date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset
-        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        SELECT DISTINCT user_id, cohort_week,
+               CAST(date_diff('day', cohort_week,
+                              date_trunc('week', ts)) // 7 AS BIGINT) AS week_offset
+        FROM marked
     )
     SELECT cohort_week, week_offset, count(*) AS n_active_users
     FROM activity GROUP BY cohort_week, week_offset

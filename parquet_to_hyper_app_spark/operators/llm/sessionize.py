@@ -20,7 +20,11 @@ GAP_SECONDS = 30 * 60
 
 def sessionized(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
     """Assign session_id per user: new session when gap > threshold."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL ts placement pinned (dirty fuzz, r5): Spark ASC = NULLS
+    # FIRST vs DuckDB NULLS LAST; a NULL-ts event must sort AFTER the
+    # real events in both engines (it opens the user's final session —
+    # its gap is NULL ⇒ new-session flag in both formulations)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     us = F.expr("unix_micros(cast(ts as timestamp))")
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
@@ -42,13 +46,13 @@ def sessionized(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
         SELECT user_id, ts, value,
                CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {GAP_SECONDS} * 1000000
                              THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS session_id
         FROM (
             SELECT user_id, event_id, ts, value,
                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                       PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS gap_us
             FROM events
         )
     )

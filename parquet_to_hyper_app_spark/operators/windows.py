@@ -45,14 +45,17 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(event_id) OVER w AS next_event_id,
            epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19: per-user previous/next event + inter-event gap in µs.
     Gap arithmetic is integer (unix_micros) — no float drift."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL ts placement pinned (dirty fuzz, r5): Spark ASC = NULLS
+    # FIRST, DuckDB ASC = NULLS LAST — a NULL-ts row at the other end
+    # of the partition shifts every lag/lead
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     us = F.expr("unix_micros(cast(ts as timestamp))")
     return ev.select(
         "event_id",
@@ -72,7 +75,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(*) OVER w AS moving_avg,
            CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS moving_sum
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -90,7 +93,12 @@ def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient), no rounding step at all (functions/exact.py rationale).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    # NULL ts pinned NULLS LAST — see window_lag_lead (dirty fuzz, r5)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(-2, 0)
+    )
     s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
     return ev.select(
         "event_id",

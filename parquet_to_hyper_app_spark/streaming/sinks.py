@@ -10,6 +10,7 @@ stream, the streaming version of the reference's convert pipeline
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 import uuid
@@ -17,10 +18,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.operators.cleaning import clean_numeric
 from parquet_to_hyper_app_spark.registry import query
 from parquet_to_hyper_app_spark.streaming.source import (
     events_file_stream,
+    run_to_memory,
     stream_shuffle_scope,
 )
 
@@ -60,8 +63,12 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # idempotence comes from keying the write by epoch: a replayed
         # batch OVERWRITES its own epoch directory instead of appending
-        # duplicates (plain append would double rows on retry/restart)
-        clean_numeric(batch_df).write.mode("overwrite").parquet(
+        # duplicates (plain append would double rows on retry/restart).
+        # ts is excluded from cleaning: in the stream it is still the
+        # int64 µs column, and int-cleaning would coalesce a NULL event
+        # time to epoch 1970 while the batch convert (timestamp-typed
+        # there) and the oracle keep NULL (review r5)
+        clean_numeric(batch_df, exclude=("ts",)).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch_{epoch_id}")
         )
 
@@ -76,10 +83,8 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an empty/missing source produces zero epochs — no epoch_* dirs —
     # and the glob read would raise an unrelated PATH_NOT_FOUND; return
     # an empty frame with the sink schema instead
-    import glob as _glob
-
-    if not _glob.glob(os.path.join(out_dir, "epoch_*")):
-        empty = clean_numeric(spark.createDataFrame([], raw.schema))
+    if not glob.glob(os.path.join(out_dir, "epoch_*")):
+        empty = clean_numeric(spark.createDataFrame([], raw.schema), exclude=("ts",))
         return empty.withColumn("ts", F.expr(_SINK_TS_EXPR))
     out = spark.read.parquet(os.path.join(out_dir, "epoch_*"))
     return out.withColumn("ts", F.expr(_SINK_TS_EXPR))
@@ -129,8 +134,6 @@ def merge_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
     checkpoint commit), snap_<epoch_id> already contains this batch,
     and merging with it would double-count.
     """
-    import glob as _g
-
     part = batch_df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         # decimal-first cents: cast through DECIMAL(12,2) BEFORE scaling
@@ -142,7 +145,7 @@ def merge_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
     )
     prior = sorted(
         p
-        for p in _g.glob(os.path.join(out_dir, "snap_*"))
+        for p in glob.glob(os.path.join(out_dir, "snap_*"))
         if int(p.rsplit("_", 1)[1]) < epoch_id
     )
     if prior:
@@ -165,8 +168,6 @@ def run_incremental_agg(
     maxFilesPerTrigger=1 and prove the per-epoch merge is genuinely
     incremental (>1 snapshot, same final table)."""
     import functools
-    import glob as _g
-
     with stream_shuffle_scope(spark):
         q = (
             raw.writeStream.foreachBatch(functools.partial(merge_epoch, out_dir=out_dir))
@@ -175,7 +176,7 @@ def run_incremental_agg(
             .start()
         )
         q.awaitTermination()
-    snaps = sorted(_g.glob(os.path.join(out_dir, "snap_*")))
+    snaps = sorted(glob.glob(os.path.join(out_dir, "snap_*")))
     if not snaps:
         return spark.createDataFrame(
             [], "event_type string, n_events bigint, total_value double"
@@ -210,8 +211,6 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     qname = f"ddw_{uuid.uuid4().hex[:8]}"
     raw, ckpt = events_file_stream(spark, sf_dir, qname)
-    from parquet_to_hyper_app_spark.catalog import load_table
-
     return run_dedup_watermark(raw, qname, ckpt, load_table(spark, sf_dir, "events"))
 
 
@@ -232,8 +231,6 @@ def run_dedup_watermark(
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
-    from parquet_to_hyper_app_spark.streaming.source import run_to_memory
-
     out = run_to_memory(stream, qname, ckpt, "append")
     # the retained row per key is arrival-order-dependent; the stable,
     # engine-comparable projection is the key + its min event time
@@ -245,4 +242,13 @@ def run_dedup_watermark(
     # state eviction would otherwise duplicate rows through the join —
     # cheap, bounded by key cardinality, not stream length
     keys = out.select("user_id", "event_type").distinct()
-    return keys.join(mins, ["user_id", "event_type"])
+    # null-safe equality (review r5): dropDuplicatesWithinWatermark
+    # treats NULL as a key value and the oracle's GROUP BY keeps NULL
+    # groups, but a plain equi-join would silently drop them
+    return keys.join(
+        mins,
+        [
+            keys["user_id"].eqNullSafe(mins["user_id"]),
+            keys["event_type"].eqNullSafe(mins["event_type"]),
+        ],
+    ).select(keys["user_id"], keys["event_type"], mins["first_seen"])

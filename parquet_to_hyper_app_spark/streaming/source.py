@@ -23,6 +23,7 @@ bands are unambiguous) and every caller receives int64 MICROS.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from contextlib import contextmanager
 
@@ -129,10 +130,24 @@ def events_file_stream(
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
     link = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(link):
-        # absolutize: a relative sf_dir would make the symlink resolve
-        # against /tmp (dangling) while batch reads still worked
-        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+    # absolutize: a relative sf_dir would make the symlink resolve
+    # against /tmp (dangling) while batch reads still worked
+    target = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    # lexists + target check (review r5): the base dir is keyed only by
+    # qname under the persistent tempdir, so a reused qname from an
+    # earlier run leaves a stale link. os.path.exists FOLLOWS the link:
+    # a dangling one looked absent (os.symlink then raised
+    # FileExistsError) and a live one pointing at an OLD corpus was
+    # silently streamed against the old checkpoint (zero new epochs —
+    # an empty result presented as legitimate). Repoint + drop the
+    # checkpoint whenever the target changed.
+    if os.path.lexists(link):
+        if os.readlink(link) != target:
+            os.unlink(link)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
     div, mul = _ts_micros_scale(spark, src_dir, os.path.realpath(link))
     if (div, mul) != (1, 1):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import uuid
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,12 +57,14 @@ def _update_profile(
         # sign-aware half-away-from-zero (floor(|v|·100 + 0.5)), the
         # HALF_UP both engines use for decimal casts — pandas .round()
         # is banker's and would flip exact half-cents.
-        import numpy as np
-
         v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
-        ok = np.isfinite(v) & (np.abs(v) < 1e10)  # DECIMAL(12,2) domain
-        kept = v[ok]
-        cents += int((np.sign(kept) * np.floor(np.abs(kept) * 100 + 0.5)).sum())
+        kept = v[np.isfinite(v)]
+        c = np.sign(kept) * np.floor(np.abs(kept) * 100 + 0.5)
+        # DECIMAL(12,2) domain on the ROUNDED cents, not the raw double
+        # (review r5: 9999999999.995 passes |v| < 1e10 but rounds to
+        # 10^12 cents, which overflows DECIMAL(12,2) and degrades to
+        # NULL — i.e. drops from the sum — in both engines)
+        cents += int(c[np.abs(c) <= 999_999_999_999].sum())
         batch_max = pdf["ts"].max()
         last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
     state.update((n, cents, last_seen))

@@ -38,12 +38,20 @@ from parquet_to_hyper_app_spark.streaming.source import events_file_stream, run_
            count(*) AS n_events,
            CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S35: tumbling 1-hour event-time windows (streaming-ready
-    `F.window`, epoch-aligned exactly like date_trunc)."""
+    `F.window`, epoch-aligned exactly like date_trunc).
+
+    NULL event times: Spark's TimeWindowing rule silently filters rows
+    with NULL ts out of every window aggregate — the documented engine
+    semantic for this whole window family (a NULL event time cannot be
+    assigned a window) — and the oracles mirror it with an explicit
+    `WHERE ts IS NOT NULL` (review r5; previously latent because the
+    fuzz generator never nulled ts)."""
     ev = load_table(spark, sf_dir, "events")
     w = F.window("ts", "1 hour")
     return ev.groupBy(w).agg(
@@ -65,6 +73,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -103,6 +112,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
             FROM events
+            WHERE ts IS NOT NULL
         )
     )
     GROUP BY user_id, session_id
@@ -132,6 +142,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
            <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE

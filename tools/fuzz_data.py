@@ -232,6 +232,16 @@ def events_table(rng, n, n_users, dirty) -> pa.Table:
         cols["value"] = pa.array(v, mask=mask)
         props[4] = "{}"
         cols["props"] = pa.array(props)
+        # NULL event time + NULL user key (review r5: the streaming
+        # window family and the watermark-dedup join diverged on
+        # exactly these and the generator never produced them). Row 6
+        # compounds both NULLs on one row.
+        ts_mask = np.zeros(n, bool)
+        ts_mask[5] = ts_mask[6] = True
+        cols["ts"] = pa.array(ts, pa.timestamp("us"), mask=ts_mask)
+        u_mask = np.zeros(n, bool)
+        u_mask[6] = u_mask[7] = True
+        cols["user_id"] = pa.array(user, pa.int64(), mask=u_mask)
     return pa.table(cols)
 
 
