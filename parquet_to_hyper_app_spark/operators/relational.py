@@ -17,7 +17,7 @@ quantum).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
@@ -109,7 +109,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum("rev").cast("double").alias("revenue"),
+            exact_sum(F.col("rev")).alias("revenue"),
             F.sum("cnt").alias("n_items"),
         )
     )
@@ -261,7 +261,16 @@ def asof_join_df(
     generated data against a naive per-row reference. `tolerance` is an
     optional SQL interval string (e.g. "INTERVAL 30 DAYS"): matches
     older than ts − tolerance are rejected (pandas merge_asof
-    semantics)."""
+    semantics).
+
+    PRECONDITION (review r5): ``event_id`` must be unique — it is the
+    events table's key everywhere this runs. The groupBy collapses to
+    one row per DISTINCT (event_id, user_id, ts); a frame with the
+    same event_id under two different (user_id, ts) values would emit
+    two rows here where the oracle's row_number-per-event_id emits
+    one, and true full-row duplicates would lose multiset
+    multiplicity. There is no deterministic cross-engine answer for a
+    duplicated key, so the contract is the key itself."""
     cond = (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts)
     if tolerance is not None:
         cond = cond & (orders.o_orderdate >= ev.ts - F.expr(tolerance))
@@ -448,14 +457,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13b: statistical aggregates (stddev/variance/corr/min/max)."""
+    """S13b: statistical aggregates (stddev/variance/corr/min/max).
+
+    Degenerate groups pin NULL, not NaN (review r5): Spark returns NaN
+    for stddev_samp/var_samp of a 1-row group and corr of a constant
+    column where DuckDB returns SQL NULL — nanvl aligns the two (the
+    driver's pandas canonicalization happens to fold them, but any
+    Spark-side consumer distinguishes isNull from isnan)."""
+
+    def nn(c: Column) -> Column:
+        return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(nn(F.stddev_samp("l_quantity")), 4).alias("sd_qty"),
+        F.round(nn(F.var_samp("l_quantity")), 4).alias("var_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(nn(F.corr("l_quantity", "l_extendedprice")), 6).alias("qty_price_corr"),
     )
 
 
@@ -554,25 +573,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13c: pivot — order-status counts per market segment. Explicit
-    pivot values keep the plan a single pass (no extra distinct scan)."""
+    """S13c: pivot — order-status counts + segment spend in ONE pass.
+
+    The pivot carries two aggregates (count + decimal spend), so the
+    former second aggregation + rejoin is gone — that shape executed
+    the orders⋈customer join twice, added a third shuffle, and its
+    equi-join silently dropped a NULL market segment the oracle's
+    GROUP BY keeps (review r5). `total` reassembles from the
+    per-status decimal sums: decimal addition is exact and the status
+    domain is closed over F/O/P (TPC-H + the fuzz contract — the same
+    closure the oracle's three CASE arms assume). An all-NULL-price
+    segment stays NULL like SQL sum, not 0.
+    """
     orders, customer = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     pivoted = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec2("o_totalprice")).alias("spend"))
     )
-    totals = joined.groupBy("c_mktsegment").agg(exact_sum(dec2("o_totalprice")).alias("total"))
-    return (
-        pivoted.join(totals, "c_mktsegment")
-        .select(
-            "c_mktsegment",
-            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
-            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
-            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
-            F.col("total"),
-        )
+    spends = [F.col(f"{s}_spend") for s in ("F", "O", "P")]
+    zero = F.lit(0).cast("decimal(12,2)")
+    total = (
+        F.when(sum(s.isNull().cast("int") for s in spends) == 3, F.lit(None))
+        .otherwise(sum((F.coalesce(s, zero) for s in spends), zero))
+        .cast("double")
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        total.alias("total"),
     )
 
 
