@@ -87,8 +87,10 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 + l_tax) AS charge,
            round(abs(l_discount - 0.05), 6) AS disc_dev,
-           round(ln(l_extendedprice), 6) AS log_price,
-           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS log_price,
+           CASE WHEN l_quantity >= 0
+                THEN round(sqrt(l_quantity), 6) END AS sqrt_qty,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            l_orderkey % 7 AS key_mod,
@@ -98,18 +100,25 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S27: math library — round/abs/ln/sqrt/ceil/floor/mod/greatest.
-    ceil/floor cast to BIGINT (Spark returns LONG, DuckDB DOUBLE)."""
+    ceil/floor cast to BIGINT (Spark returns LONG, DuckDB DOUBLE).
+
+    Out-of-domain inputs pin to NULL on BOTH sides (review r5): Spark
+    degrades ln(0)/ln(neg) to NULL and sqrt(neg) to NaN per row, while
+    DuckDB hard-errors the whole query — the explicit domain CASE/when
+    makes "edge row degrades to NULL, never fails the query" the
+    actual cross-engine contract, not an accident of clean data."""
     li = load_table(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         # raw double product: same IEEE ops on same operands in both
         # engines → bitwise identical, no rounding needed (rounding a
         # 4-decimal-exact product at scale 2 would sit on .xx5 ties)
-        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("charge"),
+        (price * (1 + F.col("l_tax"))).alias("charge"),
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.when(price > 0, F.round(F.log(price), 6)).alias("log_price"),
+        F.when(qty >= 0, F.round(F.sqrt(qty), 6)).alias("sqrt_qty"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
@@ -119,7 +128,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_string_extra",
-    oracle="""
+    oracle=r"""
     SELECT p_partkey,
            reverse(p_name) AS name_rev,
            lpad(p_brand, 12, '*') AS brand_pad,
@@ -127,7 +136,10 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            left(p_name, 4) AS name_left,
            CAST(strpos(p_name, ' ') AS BIGINT) AS space_pos,
            CAST(ascii(p_name) AS BIGINT) AS first_char,
-           CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist
+           CASE WHEN regexp_matches(p_name, '^[\x00-\x7f]*$')
+                 AND regexp_matches(p_type, '^[\x00-\x7f]*$')
+                THEN CAST(levenshtein(p_name, p_type) AS BIGINT)
+           END AS name_type_dist
     FROM part
     """,
 )
@@ -144,15 +156,26 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 4).alias("name_left"),
         F.instr(F.col("p_name"), " ").cast("long").alias("space_pos"),
         F.ascii(F.col("p_name")).cast("long").alias("first_char"),
-        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("long").alias("name_type_dist"),
+        # ASCII gate (review r5): Spark levenshtein counts CHARACTERS,
+        # DuckDB 1.0 counts BYTES — they agree only on ASCII. The pinned
+        # contract: edit distance for ASCII pairs, NULL otherwise (both
+        # sides; verified divergence: levenshtein('中文ab','ab') = 2 vs 6)
+        F.when(
+            F.col("p_name").rlike(r"^[\x00-\x7f]*$")
+            & F.col("p_type").rlike(r"^[\x00-\x7f]*$"),
+            F.levenshtein(F.col("p_name"), F.col("p_type")),
+        )
+        .cast("long")
+        .alias("name_type_dist"),
     )
 
 
 @query(
     "scalar_trycast",
-    oracle="""
+    oracle=r"""
     SELECT p_partkey,
-           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           CASE WHEN regexp_matches(p_name, '^\s*[+-]?\d+\s*$')
+                THEN TRY_CAST(p_name AS INTEGER) END AS name_as_int,
            TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
            p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero
     FROM part
@@ -160,12 +183,22 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S25c: error-safe casts — try_cast yields NULL instead of
-    failing (ANSI-mode-safe pipelines), try_divide NULLs on zero."""
+    failing (ANSI-mode-safe pipelines), try_divide NULLs on zero.
+
+    The pinned string→int contract is Spark's ANSI-style rule —
+    optional whitespace/sign around an INTEGER literal, NULL for
+    anything else — which the oracle replicates with a regexp gate,
+    because DuckDB's bare TRY_CAST additionally ROUNDS fractional
+    strings ('1.5' → 2) where Spark yields NULL (review r5; both
+    behaviors verified on the pinned engine versions)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.col("p_name").try_cast("int").alias("name_as_int"),
-        F.col("p_size").cast("string").cast("int").alias("size_roundtrip"),
+        # try_cast here too: the docstring advertises the error-safe
+        # cast, and in the degraded no-ansi-conf mode a plain cast
+        # could throw where the oracle's TRY_CAST NULLs (review r5)
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
         F.try_divide(F.col("p_retailprice"), F.col("p_size") - F.col("p_size")).alias(
             "div_by_zero"
         ),
@@ -174,14 +207,24 @@ def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_map",
-    oracle="""
+    oracle=r"""
     SELECT event_id,
            map_keys(m)[1] AS first_key,
            CAST(map_values(m)[1] AS BIGINT) AS k_value,
            CAST(cardinality(m) AS BIGINT) AS n_keys
     FROM (
+        -- json_valid gate: DuckDB json_extract_string ERRORS the whole
+        -- query on one malformed props row where Spark's
+        -- get_json_object per-row NULLs; the integer regexp gate pins
+        -- Spark's truncating non-ANSI string->long cast out of the
+        -- contract ('1.5' would cast to 1 in Spark, round to 2 in
+        -- DuckDB — both now NULL). Review r5.
         SELECT event_id,
-               map(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)]) AS m
+               map(['k'], [CASE WHEN json_valid(props)
+                                 AND regexp_matches(json_extract_string(props, '$.k'),
+                                                    '^[+-]?\d+$')
+                                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           END]) AS m
         FROM events
     )
     """,
@@ -189,9 +232,12 @@ def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S29b: MapType surface — construct a map from the parsed JSON,
     read keys/values/cardinality (typed key-value columns are the
-    natural shape for sparse per-row metadata at scale)."""
+    natural shape for sparse per-row metadata at scale). The value
+    contract is integer-literal-or-NULL on both engines (see oracle
+    comment)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    s = F.get_json_object("props", "$.k")
+    k = F.when(s.rlike(r"^[+-]?\d+$"), s.cast("long"))
     m = F.create_map(F.lit("k"), k)
     return ev.select(
         "event_id",
@@ -203,18 +249,29 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_json",
-    oracle="""
+    oracle=r"""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN json_valid(props)
+                 AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
+                                    '^[+-]?\d+$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_int,
            CAST(length(props) AS BIGINT) AS props_len
     FROM events
     """,
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S28: JSON extraction from the events.props string column.
-    `get_json_object` (Spark) ≙ `json_extract_string` (DuckDB); a typed
-    read via from_json yields the same k_int."""
+    `get_json_object` (Spark) ≙ `json_extract_string` (DuckDB), with a
+    `json_valid` gate on the oracle side: DuckDB errors the WHOLE query
+    on one malformed row where Spark per-row NULLs (review r5). A typed
+    read via from_json yields the same k_int — from_json('k BIGINT')
+    NULLs a fractional 1.5 AND a string-typed "12" (both verified),
+    which the oracle mirrors by regexp-gating the RAW json_extract
+    (quotes intact, so string-typed numbers fail the gate) where a
+    bare CAST would round or coerce."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k BIGINT")
     return ev.select(
@@ -232,10 +289,14 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS BIGINT) AS n_dims,
            CAST(embedding[1] AS DOUBLE) AS first_dim,
            array_to_string(list_transform(embedding[1:4],
-               x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',')
+               x -> CASE WHEN abs(CAST(x AS DOUBLE)) < 1e12
+                         THEN CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
+                         ELSE 'overflow' END), ',')
                AS head4_csv,
-           round(sqrt(list_sum(list_transform(
-               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CASE WHEN len(embedding) > 0 THEN
+               round(sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+           END AS l2_norm,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                  / len(embedding), 6) + 0.0 AS mean_dim
     FROM embeddings
@@ -250,22 +311,41 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`head4_csv`) because the driver's canonicalizer needs scalar cells."""
     e = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    # |x| >= 1e12 exceeds DECIMAL(18,6): non-ANSI Spark silently cast
+    # it to NULL and array_join then silently DROPPED the element (a
+    # 3-value CSV with no marker) while DuckDB hard-errored — both
+    # sides now emit an explicit 'overflow' marker (review r5). NaN
+    # lands in the marker branch in both engines (NaN < 1e12 is false
+    # under Spark's total order and DuckDB's comparison alike).
+    def fmt(x):
+        d = x.cast("double")
+        return F.when(
+            F.abs(d) < 1e12, d.cast("decimal(18,6)").cast("string")
+        ).otherwise(F.lit("overflow"))
+
     return e.select(
         "vec_id",
-        F.size("embedding").cast("long").alias("n_dims"),
+        # guard: Spark's size(NULL) is -1 under the session's legacy
+        # sizeOfNull while DuckDB len(NULL) is NULL — same class as the
+        # r4 size(split(NULL)) fix (review r5)
+        F.when(F.col("embedding").isNotNull(), F.size("embedding"))
+        .cast("long")
+        .alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.array_join(
-            F.transform(
-                F.slice("embedding", 1, 4),
-                lambda x: x.cast("double").cast("decimal(18,6)").cast("string"),
+        F.array_join(F.transform(F.slice("embedding", 1, 4), fmt), ",").alias(
+            "head4_csv"
+        ),
+        # empty-array guard: Spark's fold of [] yields the 0.0 init
+        # while DuckDB's list_sum([]) is NULL — pin NULL on both
+        F.when(
+            F.size("embedding") > 0,
+            F.round(
+                F.sqrt(
+                    F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+                6,
             ),
-            ",",
-        ).alias("head4_csv"),
-        F.round(
-            F.sqrt(
-                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
-            ),
-            6,
         ).alias("l2_norm"),
         # `+ 0.0` collapses IEEE signed zero: a near-zero negative mean
         # (e.g. a denormal-scale vector) rounds to -0.0 in one engine

@@ -132,7 +132,14 @@ def part_table(rng, n) -> pa.Table:
     return pa.table(
         {
             "p_partkey": pa.array(range(1, n + 1), pa.int64()),
-            "p_name": pa.array([f"part {WORDS[i % len(WORDS)]} {i}" for i in range(n)]),
+            # rows 0-3: numeric-looking names pin the try_cast contract
+            # (fractional -> NULL both engines, padded/signed ints cast);
+            # row 4: non-ASCII pins the levenshtein ASCII gate (r5)
+            "p_name": pa.array(
+                ["1.5", " 42 ", "+7", "99999999999"]
+                + ["pärt 中文 name 🎉"]
+                + [f"part {WORDS[i % len(WORDS)]} {i}" for i in range(5, n)]
+            ),
             "p_brand": pa.array(brands),
             "p_type": pa.array([types[i % 6] for i in range(n)]),
             "p_size": pa.array(sizes, pa.int32()),
@@ -178,7 +185,10 @@ def lineitem_table(rng, n, n_orders, n_parts, n_supp) -> pa.Table:
     okey[rng.random(n) < 0.03] = n_orders + 777  # orphan order keys
     qty = rng.integers(1, 51, n).astype("float64")
     qty[:200] = 25.0  # fat tie block
+    qty[201] = -5.0  # out-of-domain for sqrt: NULL in both engines (r5)
     price = money(rng, n, 900.0, 105000.0)
+    price[202] = 0.0  # ln(0) out-of-domain -> NULL both (r5)
+    price[203] = -42.5  # negative money flows through decimal sums
     disc = np.round(rng.integers(0, 11, n) * 0.01, 2)
     disc[0] = 0.0
     disc[1] = 0.1
@@ -231,6 +241,9 @@ def events_table(rng, n, n_users, dirty) -> pa.Table:
         mask[3] = True
         cols["value"] = pa.array(v, mask=mask)
         props[4] = "{}"
+        props[5] = "not json"  # malformed: NULL per-row, never a query error
+        props[6] = '{"k": 1.5}'  # fractional: outside the integer contract
+        props[7] = '{"k": "12"}'  # string-typed number: ditto (r5)
         cols["props"] = pa.array(props)
         # NULL event time + NULL user key (review r5: the streaming
         # window family and the watermark-dedup join diverged on
