@@ -288,11 +288,16 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS n_dims,
            CAST(embedding[1] AS DOUBLE) AS first_dim,
-           array_to_string(list_transform(embedding[1:4],
-               x -> CASE WHEN abs(CAST(x AS DOUBLE)) < 1e12
-                         THEN CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
-                         ELSE 'overflow' END), ',')
-               AS head4_csv,
+           -- empty-vs-NULL pinned: DuckDB's array_to_string emits NULL
+           -- for an EMPTY list where Spark's array_join emits '' — ''
+           -- is the contract for a defined-but-empty vector, NULL for
+           -- an undefined one (review r5)
+           CASE WHEN embedding IS NOT NULL THEN
+               coalesce(array_to_string(list_transform(embedding[1:4],
+                   x -> CASE WHEN abs(CAST(x AS DOUBLE)) < 1e12
+                             THEN CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
+                             ELSE 'overflow' END), ','), '')
+           END AS head4_csv,
            CASE WHEN len(embedding) > 0 THEN
                round(sqrt(list_sum(list_transform(
                    embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)

@@ -37,6 +37,7 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     rademacher_entry,
     rel_margin,
 )
+from parquet_to_hyper_app_spark.operators.llm.similarity import valid_vectors
 from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
 
@@ -796,7 +797,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -844,7 +845,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     #: group count ≈ n/2048 · B/2 tasks with bounded memory each
     nblocks = max(2, math.ceil(math.sqrt(n / 2048.0)) * 2)
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = valid_vectors(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     blk = F.pmod(F.col("vec_id"), F.lit(nblocks)).cast("int")
     a_side = emb.select(
         "vec_id",
@@ -1019,7 +1022,7 @@ def _emb_lsh_oracle() -> str:
     ),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     __bitvals AS (
         SELECT v.vec_id, p.t,
@@ -1095,7 +1098,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dim_for,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     dim = embedding_dim_for(spark, sf_dir)
     bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
     # (L·bits) × dim ±1 plane matrix — md5-derived, shared with the oracle

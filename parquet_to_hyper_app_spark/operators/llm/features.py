@@ -24,6 +24,7 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
     ann_audit_gate_sql,
     bucket_topk,
     enforce_recall_floor,
+    valid_vectors,
     with_recall_audit,
 )
 from parquet_to_hyper_app_spark.registry import query
@@ -295,7 +296,7 @@ def _kmeans_oracle() -> str:
     WITH __p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     __s AS (SELECT vec_id, e FROM __v ORDER BY vec_id LIMIT {_KM_SAMPLE}),
     __c0 AS (
@@ -355,7 +356,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-centroid folds against literal centroids, no Python, no
     shuffle) and lists are written bucketed by centroid_id.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -470,9 +471,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return quant.select(
         "vec_id",
-        F.size("q").alias("dims"),
+        # NULL-propagation for undefined vectors (review r5): size(NULL)
+        # is -1 under legacy sizeOfNull, and Spark's fold of [] yields
+        # the 0 init where DuckDB's list_aggregate([], 'sum') is NULL
+        F.when(F.col("q").isNotNull(), F.size("q")).alias("dims"),
         "scale",
-        F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.when(
+            F.size("q") > 0, F.expr("aggregate(q, 0L, (acc, x) -> acc + x)")
+        ).alias("q_sum"),
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
     )

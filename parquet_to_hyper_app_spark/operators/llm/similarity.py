@@ -34,6 +34,19 @@ def cosine(ea: Column, eb: Column) -> Column:
     return dot / (F.sqrt(sq(ea)) * F.sqrt(sq(eb)))
 
 
+#: well-defined vectors only: similarity/dedup semantics are undefined
+#: for a NULL or empty embedding (no cosine exists), so the search and
+#: near-dup operators exclude them on BOTH sides — the vector-column
+#: analogue of the "NULL text ≡ empty document" rule (review r5).
+#: Profiling ops (array_ops, embedding_quantize) keep NULL-propagation.
+VALID_VEC_SQL = "embedding IS NOT NULL AND len(embedding) > 0"
+
+
+def valid_vectors(emb: DataFrame) -> DataFrame:
+    """Rows whose embedding is defined (non-NULL, non-empty)."""
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = _TOP_K
 ) -> DataFrame:
@@ -62,7 +75,7 @@ def brute_force_topk(
     oracle=f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     scored AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -82,7 +95,7 @@ def brute_force_topk(
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S32: exact cosine top-3 neighbors for query vectors vec_id<10."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = brute_force_topk(emb, queries)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -92,9 +105,9 @@ def embedding_dim(emb: DataFrame) -> int:
     """Actual embedding dimensionality (one-row lookup). Hardcoding a
     dim that mismatches the data would NULL every hyperplane dot
     product and silently collapse all vectors into one bucket."""
-    row = emb.select(F.size("embedding").alias("d")).first()
+    row = valid_vectors(emb).select(F.size("embedding").alias("d")).first()
     if row is None or not row["d"]:
-        raise ValueError("embeddings table is empty or has empty vectors")
+        raise ValueError("embeddings table has no well-defined vectors")
     return int(row["d"])
 
 
@@ -300,7 +313,7 @@ def _ivf_oracle() -> str:
     ),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     __bkt AS (
         SELECT v.vec_id,
@@ -354,7 +367,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     round()-exact hit count — so `_ivf_oracle()` reproduces the
     entire search+audit+gate pipeline and the driver value-hashes it.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
     bits = _IVF_BITS
     planes = _ivf_planes(embedding_dim_for(spark, sf_dir))
     v = emb.select(

@@ -306,6 +306,7 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[2] = m[0] * 1e6  # same direction, huge magnitude (cos == 1)
     m[3] = -m[0]  # antipodal (cos == -1)
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
+    rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
@@ -313,10 +314,18 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
         # magnitude-RELATIVE knife-edge margins in the LSH sign dots
         # and the Lloyd argmin (an absolute epsilon breaks exactly here)
         m[6] = m[6] * 1e8
+        rows = [row.tolist() for row in m]
+        # undefined vectors INSIDE the query panel (vec_id 8, 9 < 10):
+        # NULL and empty embeddings are excluded from every search /
+        # near-dup operator on both engines (valid_vectors ↔ the
+        # oracles' len()>0 gate) and NULL-propagate through the
+        # profiling ops — review r5
+        rows[7] = None
+        rows[8] = []
     return pa.table(
         {
             "vec_id": pa.array(range(1, n + 1), pa.int64()),
-            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
             "label": pa.array([i % 10 for i in range(n)], pa.int32()),
         }
     )
