@@ -38,14 +38,12 @@ from parquet_to_hyper_app_spark.operators.llm.dedup import (
     ngram_jaccard_pairs,
 )
 from parquet_to_hyper_app_spark.operators.llm.text import (
+    BPE_RE,
     QUALITY_MAX_CHARS,
     QUALITY_MAX_DIGIT_RATIO,
     QUALITY_MIN_CHARS,
 )
 from parquet_to_hyper_app_spark.registry import query
-
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-
 
 def quality_gate(docs: DataFrame) -> DataFrame:
     """text_quality's boolean gate as a filter — same thresholds, one
@@ -66,7 +64,7 @@ def tokenized(docs: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
@@ -77,7 +75,7 @@ def tokenized(docs: DataFrame) -> DataFrame:
     "pipeline_training_corpus",
     oracle=rf"""
     SELECT doc_id, lang, source,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
                AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM (
@@ -148,7 +146,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     __pairs AS ({NGRAM_PAIRS_ORACLE_TMPL.format(src="__survivors")}),
     __drops AS (SELECT DISTINCT doc_b AS doc_id FROM __pairs)
     SELECT doc_id, lang, source,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
                AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM __survivors

@@ -11,12 +11,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
-from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum  # noqa: F401
 from parquet_to_hyper_app_spark.registry import query
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text, empties removed."""
+    """Whitespace tokens of trimmed text, empties removed.
+
+    Case contract (applies to every caller that lowercases first):
+    `lower()` is only pinned cross-engine for ASCII — Java uses full
+    Unicode case mappings (İ → i + U+0307) while DuckDB's utf8proc
+    uses simple mappings (İ → i), so SpecialCasing.txt characters are
+    outside the corpus contract. ASCII and identity-case text (the
+    generator's and fuzzer's alphabet) agree everywhere.
+    """
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
@@ -137,13 +144,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer (letter runs | digit runs | single
+#: punctuation) — single source of truth for text_token_bpe AND
+#: pipeline_training_corpus token costing (impls and oracles); same
+#: regex dialect in Java and RE2
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_RE = r"[A-Za-z]+"
+
+
 @query(
     "text_token_bpe",
-    oracle=r"""
+    oracle=rf"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
                AS n_bpe_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens
+           CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT) AS n_word_tokens
     FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     """,
 )
@@ -157,10 +172,10 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).cast("long").alias(
+        F.size(F.regexp_extract_all("text", F.lit(WORD_RE), 0)).cast("long").alias(
             "n_word_tokens"
         ),
     )
@@ -447,13 +462,29 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+    # LEFT join from the 3-row size frame, not inner from cum: on an
+    # all-empty corpus (every doc NULL/whitespace — the fuzz plants
+    # these) cum is empty and an inner join emits 0 rows while the
+    # oracle's LEFT JOIN still emits one row per vocab size. Pruning
+    # cum to r <= max(sizes) first bounds the broadcast build side to
+    # max(sizes) rows regardless of vocabulary cardinality, and drops
+    # the full-vocab shuffle the old inner join paid.
+    cum_head = cum.filter(F.col("r") <= max(_COVERAGE_VOCAB_SIZES))
     out = (
-        cum.join(F.broadcast(size_df), "r")
+        size_df.join(F.broadcast(cum_head), "r", "left")
         .select(
             "vocab_size",
-            F.col("r").cast("long").alias("n_types"),
-            F.col("cum_n").alias("n_occurrences"),
-            F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias("coverage"),
+            # unmatched (empty-corpus) rows keep r = vocab_size because
+            # least() skips the NULL max_r — gate n_types on the join
+            # actually matching (cum_n is never NULL for a real rank)
+            F.when(F.col("cum_n").isNull(), F.lit(0))
+            .otherwise(F.col("r"))
+            .cast("long")
+            .alias("n_types"),
+            F.coalesce(F.col("cum_n"), F.lit(0)).alias("n_occurrences"),
+            F.round(
+                F.coalesce(F.col("cum_n"), F.lit(0)).cast("double") / F.col("total"), 6
+            ).alias("coverage"),
         )
         .localCheckpoint(eager=True)
     )
@@ -466,7 +497,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_length_quartiles",
     oracle="""
     SELECT doc_id, lang, n_chars,
-           CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY n_chars NULLS LAST, doc_id)
                 AS BIGINT) AS quartile
     FROM documents
     """,
@@ -475,12 +507,15 @@ def text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S33h: per-language document-length quartile assignment (ntile) —
     the binning step behind curriculum schedules and length-balanced
     batch mixing. Partitioned by lang so the sort parallelizes across
-    languages; deterministic tie-break on doc_id.
+    languages; deterministic tie-break on doc_id. NULL placement is
+    pinned explicitly on BOTH sides (Spark defaults ASC NULLS FIRST,
+    DuckDB NULLS LAST — a one-row NULL n_chars would shift every
+    quartile in its partition otherwise).
     """
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w = W.partitionBy("lang").orderBy(F.asc_nulls_last("n_chars"), "doc_id")
     return docs.select(
         "doc_id", "lang", "n_chars", F.ntile(4).over(w).cast("long").alias("quartile")
     )

@@ -175,3 +175,32 @@ def test_incremental_agg_cents_expr_degrades_specials(spark):
         (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("c")
     ).collect()
     assert [r["c"] for r in cents] == [125, None, None, None]
+
+
+def test_vocab_coverage_empty_corpus_matches_left_join_oracle(spark, tmp_path):
+    """A corpus with zero tokens (every doc NULL/empty/whitespace) must
+    still emit one row per vocab size — the oracle's LEFT JOIN shape —
+    with n_types = n_occurrences = 0 and NULL coverage, not 0 rows from
+    an inner join against the empty cumulative table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["en", "en", "de"]),
+            "source": pa.array(["a", "a", "b"]),
+            "text": pa.array([None, "", "   \t\n  "]),
+            "n_chars": pa.array([0, 0, 7], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    fn = load_all()["text_vocab_coverage"].fn
+    rows = {r["vocab_size"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert sorted(rows) == [100, 1000, 10000]
+    for r in rows.values():
+        assert r["n_types"] == 0
+        assert r["n_occurrences"] == 0
+        assert r["coverage"] is None
