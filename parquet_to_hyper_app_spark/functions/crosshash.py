@@ -26,6 +26,20 @@ import hashlib
 HASH60_SPARK = "CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 HASH60_DUCK = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
+#: Cross-engine whitespace contract. Three regex engines tokenize text
+#: in this repo — Java (Spark split/regexp_*/rlike), RE2 (DuckDB
+#: oracles), and Python re (pandas UDFs) — and their `\s` classes
+#: disagree: Java \s = [ \t\n\x0B\f\r]; RE2 \s = [ \t\n\f\r] (no
+#: vertical tab); Python \s additionally matches Unicode whitespace
+#: (U+00A0, U+2028, ...). This explicit ASCII class is the one spelling
+#: all three read identically (the escapes \t \n \r \f \x0B parse the
+#: same in every engine), so tokenizers/normalizers use WS / NON_WS
+#: instead of \s / \S. Unit-pinned three ways in
+#: tests/test_dirty_semantics.py::test_ws_class_agrees_across_engines.
+WS_CHARS = r" \t\n\r\f\x0B"
+WS = f"[{WS_CHARS}]"
+NON_WS = f"[^{WS_CHARS}]"
+
 
 def hash60_const(s: str) -> int:
     """Python twin of the cross-engine 60-bit md5 hash."""

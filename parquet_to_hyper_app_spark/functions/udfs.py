@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udtf
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.registry import query
 
 # type objects, not DDL strings: decorators run at import time, before
@@ -41,7 +42,7 @@ def token_count_udf(texts: pd.Series) -> pd.Series:
     len(regexp_split_to_array(NULL, ...)) = NULL."""
     return pd.Series(
         [
-            None if t is None else len([w for w in re.split(r"\s+", t.strip()) if w])
+            None if t is None else len([w for w in re.split(WS + "+", t) if w])
             for t in texts
         ],
         dtype="Int64",
@@ -50,9 +51,9 @@ def token_count_udf(texts: pd.Series) -> pd.Series:
 
 @query(
     "udf_pandas_scalar",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '{WS}+'),
                                 t -> t <> '')) AS BIGINT) AS n_tokens_udf
     FROM documents
     """,
@@ -134,16 +135,16 @@ class SplitTokensUDTF:
     def eval(self, text: str):  # noqa: D102
         if text is None:
             return
-        for i, tok in enumerate(w for w in re.split(r"\s+", text.strip()) if w):
+        for i, tok in enumerate(w for w in re.split(WS + "+", text) if w):
             yield tok, i
 
 
 @query(
     "udf_table",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+               list_filter(regexp_split_to_array(trim(text), '{WS}+'), t -> t <> '') AS toks
         FROM documents
     )
     SELECT doc_id, toks[i] AS token, CAST(i - 1 AS BIGINT) AS token_idx

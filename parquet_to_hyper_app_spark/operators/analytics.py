@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import NON_WS, WS
 from parquet_to_hyper_app_spark.registry import query
 
 #: ordered funnel stages over the events stream
@@ -337,7 +338,7 @@ _LM_TOP_K = 30
     oracle=f"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
                            t -> t <> '') AS tk
         FROM documents
     ),
@@ -380,17 +381,17 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count shuffle where partial aggregation absorbs it.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    tk = F.filter(F.split(F.lower(F.trim(F.col("text"))), WS + "+"), lambda t: t != "")
     pairs = (
         # ≥2-token row filter expressed on the RAW text so filter
         # pushdown can't inline the tokenize expression into the
         # Filter node and evaluate it twice per row (see
         # ngram_jaccard_pairs for the 16× version of the same trap).
-        # \S\s+\S ⟺ two maximal \S+ runs ⟺ size(tk) >= 2 — NOT
+        # NON_WS WS+ NON_WS ⟺ two maximal token runs ⟺ size(tk) >= 2 — NOT
         # trim()-based: Spark's trim strips spaces only, so a
         # 'hello\n' doc would slip a 1-token row through and
         # sequence(1, size-1) would run descending into NULL bigrams
-        docs.filter(F.col("text").rlike(r"\S\s+\S"))
+        docs.filter(F.col("text").rlike(NON_WS + WS + "+" + NON_WS))
         .select(tk.alias("tk"))
         .select(
             F.explode(

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.operators.llm.text import (
     QUALITY_MAX_CHARS,
     QUALITY_MAX_DIGIT_RATIO,
@@ -70,7 +71,7 @@ def _ngram_hashes(toks_col: str, n: int) -> Column:
                )) AS grams
         FROM (
             SELECT doc_id, source,
-                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
                                t -> t <> '') AS toks
             FROM documents
         )
@@ -153,10 +154,10 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_repetition",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
-               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
                            t -> t <> '') AS toks
         FROM documents
     ),
@@ -300,10 +301,10 @@ def quality_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_cross_entropy",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(list_filter(
-                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   regexp_split_to_array(lower(trim(text)), '{WS}+'),
                    t -> t <> '')) AS token
         FROM documents
     ),

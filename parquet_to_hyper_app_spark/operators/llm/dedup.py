@@ -38,6 +38,7 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     rel_margin,
 )
 from parquet_to_hyper_app_spark.operators.llm.similarity import valid_vectors
+from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
 
@@ -134,7 +135,7 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     # would otherwise propagate NULL and silently never pair the doc)
     return docs.withColumn(
         "__words",
-        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), WS + "+"),
     ).withColumn("shingles", F.expr(_SHINGLES)).drop("__words")
 
 
@@ -287,7 +288,7 @@ def _minhash_oracle() -> str:
                    END),
                  s -> {h60}) AS sh
         FROM (SELECT doc_id,
-                     regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS w
+                     regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+') AS w
               FROM documents)
     ),
     __sig AS (
@@ -391,7 +392,7 @@ def _simhash_oracle() -> str:
     WITH __h AS (
         SELECT doc_id, {h60} AS h
         FROM (SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                     unnest(regexp_split_to_array(lower(trim(text)), '{WS}+')) AS w
               FROM documents)
     ),
     __votes AS (
@@ -426,7 +427,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     out = (
-        docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), WS + "+"))
         .withColumn(
             "__whashes",
             F.expr(f"transform(__words, w -> {_HASH60_SPARK.format(col='w')})"),
@@ -446,7 +447,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: relation {src}(doc_id, lang, text) — the oracle for the prefix-filter
 #: pair mining AND the building block for the cluster / pipeline oracles
 #: (format with src= a table or CTE name; no other placeholders).
-NGRAM_PAIRS_ORACLE_TMPL = """
+NGRAM_PAIRS_ORACLE_TMPL = f"""
     WITH __grams AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(
@@ -454,9 +455,9 @@ NGRAM_PAIRS_ORACLE_TMPL = """
                    i -> toks[i] || ' ' || coalesce(toks[i+1], ''))) AS bigrams
         FROM (
             SELECT doc_id, lang,
-                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
                                t -> t <> '') AS toks
-            FROM {src}
+            FROM {{src}}
         )
     )
     , __sized AS (

@@ -27,15 +27,16 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
     valid_vectors,
     with_recall_audit,
 )
+from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.registry import query
 
 
 @query(
     "text_tfidf",
-    oracle=r"""
+    oracle=rf"""
     WITH docs AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+               list_filter(string_split_regex(lower(coalesce(text, '')), '{WS}+'),
                            x -> x <> '') AS toks
         FROM documents
     ),
@@ -84,7 +85,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(
-            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), WS + "+"),
             lambda x: x != "",
         ).alias("toks"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import WS, WS_CHARS
 from parquet_to_hyper_app_spark.registry import query
 
 
@@ -24,12 +25,12 @@ def tokens(text: Column) -> Column:
     outside the corpus contract. ASCII and identity-case text (the
     generator's and fuzzer's alphabet) agree everywhere.
     """
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(text), WS + "+"), lambda t: t != "")
 
 
 @query(
     "text_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
@@ -37,7 +38,7 @@ def tokens(text: Column) -> Column:
            CAST(length(text) AS BIGINT) AS n_chars
     FROM (
         SELECT doc_id, lang, text,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+               list_filter(regexp_split_to_array(trim(text), '{WS}+'), t -> t <> '') AS toks
         FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)
     )
     """,
@@ -111,7 +112,7 @@ QUALITY_MAX_DIGIT_RATIO = 0.3
                    / nullif(length(text), 0) < {QUALITY_MAX_DIGIT_RATIO} AS passes_quality
     FROM (
         SELECT doc_id, text,
-               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
                            t -> t <> '') AS toks
         FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
     )
@@ -148,7 +149,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: punctuation) — single source of truth for text_token_bpe AND
 #: pipeline_training_corpus token costing (impls and oracles); same
 #: regex dialect in Java and RE2
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 WORD_RE = r"[A-Za-z]+"
 
 
@@ -183,9 +184,9 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace(lower(trim(text)), '{WS}+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
 )
@@ -195,7 +196,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), WS + "+", " ")).alias(
             "fingerprint"
         ),
     )
@@ -229,7 +230,7 @@ def _lang_id_oracle() -> str:
     return f"""
     WITH __toks AS (
         SELECT doc_id, lang,
-               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               list_filter(regexp_split_to_array(trim(lower(text)), '{WS}+'),
                            t -> t <> '') AS tk
         FROM (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents)
     ),
@@ -292,7 +293,7 @@ _VOCAB_TOP_K = 20
         FROM (
             SELECT token, count(*) AS n_occurrences FROM (
                 SELECT unnest(list_filter(
-                    regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    regexp_split_to_array(lower(trim(text)), '{WS}+'),
                     t -> t <> '')) AS token
                 FROM documents
             ) GROUP BY token
@@ -400,7 +401,7 @@ _COVERAGE_VOCAB_SIZES = (100, 1000, 10000)
     WITH occ AS (
         SELECT token, count(*) AS n FROM (
             SELECT unnest(list_filter(
-                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                regexp_split_to_array(lower(trim(text)), '{WS}+'),
                 t -> t <> '')) AS token
             FROM documents
         ) GROUP BY token

@@ -204,3 +204,50 @@ def test_vocab_coverage_empty_corpus_matches_left_join_oracle(spark, tmp_path):
         assert r["n_types"] == 0
         assert r["n_occurrences"] == 0
         assert r["coverage"] is None
+
+
+def test_ws_class_agrees_across_engines(spark):
+    """The WS tokenizer class must read identically in Java (Spark),
+    RE2 (DuckDB), and Python re — the three engines' `\\s` classes all
+    disagree (Java adds \\x0B over RE2; Python adds Unicode spaces),
+    which is exactly why tokenizers spell the class out. Exercises the
+    divergence characters directly: vertical tab, NBSP, line/paragraph
+    separators."""
+    import re
+
+    import duckdb
+
+    from parquet_to_hyper_app_spark.functions.crosshash import WS
+
+    hostile = [
+        "a\x0bb",          # vertical tab: Java \s yes, RE2 \s no
+        "a b",        # NBSP: Python \s yes, Java/RE2 no
+        "a b  ", # line/paragraph separators (Python \s)
+        " lead trail ",
+        "\t\n\f\r\x0b",    # all contract whitespace, nothing else
+        "mixed \x0b \t x",
+        "",
+    ]
+
+    def py_tokens(t):
+        return [w for w in re.split(WS + "+", t) if w]
+
+    sdf = spark.createDataFrame([(t,) for t in hostile], "text string")
+    from pyspark.sql import functions as F
+
+    spark_rows = sdf.select(
+        F.filter(F.split("text", WS + "+"), lambda x: x != "").alias("tk")
+    ).collect()
+    spark_tokens = [r["tk"] for r in spark_rows]
+
+    con = duckdb.connect()
+    duck_tokens = [
+        con.execute(
+            f"SELECT list_filter(regexp_split_to_array(?, '{WS}+'), t -> t <> '')",
+            [t],
+        ).fetchone()[0]
+        for t in hostile
+    ]
+
+    for t, st, dt in zip(hostile, spark_tokens, duck_tokens):
+        assert st == dt == py_tokens(t), (repr(t), st, dt, py_tokens(t))

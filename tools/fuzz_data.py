@@ -272,6 +272,14 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
     texts[8] = "near duplicate body of text here"  # near-dup of the trio
     texts[9] = " ".join(WORDS) * 40  # very long doc
     if dirty:
+        # regex-dialect divergence characters (the WS contract,
+        # crosshash.WS): vertical tab splits under Java \s but not RE2
+        # \s; NBSP and the line/paragraph separators split under Python
+        # \s but under neither SQL engine. The explicit class must make
+        # all three engines tokenize these identically.
+        texts[14] = "vtab\x0bsplit mixed \x0b\t tail"
+        texts[15] = "nbsp\u00a0glued line\u2028sep para\u2029sep end"
+    if dirty:
         # SQL NULL text: the driver testdata never produces it, but any
         # real ingestion can — every text-consuming oracle must agree
         # with Spark on NULL propagation (split/len/window partitions)
