@@ -221,7 +221,18 @@ def run_dedup_watermark(
     project the engine-comparable result (see `stream_dedup_watermark`).
     Separated from the registry query so tests can feed a multi-file
     source with maxFilesPerTrigger=1 and prove the oracle equivalence
-    survives keys re-emitted after watermark state eviction."""
+    survives keys re-emitted after watermark state eviction.
+
+    Contract (review r5): batch-GROUP-BY equivalence holds when no
+    key's FIRST occurrence arrives in a micro-batch behind the already-
+    advanced watermark — true for the registry path (availableNow =
+    one batch) and for event-time-ordered file listings (the test
+    harness). Under arbitrary file order a key living only in late
+    batches is eviction-dropped by dropDuplicatesWithinWatermark and
+    absent from the result — inherent to bounded-state streaming dedup
+    (the unbounded-state alternative cannot survive a 100 TB stream),
+    not a join artifact; the distinct()+min-join below only repairs
+    re-emission duplicates, never late-drop losses."""
     stream = (
         raw.select(
             "user_id",

@@ -142,14 +142,34 @@ def events_file_stream(
     # an empty result presented as legitimate). Repoint + drop the
     # checkpoint whenever the target changed.
     if os.path.lexists(link):
-        if os.readlink(link) != target:
+        if not os.path.islink(link):
+            # a leftover regular file/dir at the link path (interrupted
+            # run, copied tree): os.readlink would raise EINVAL — treat
+            # it as stale state and repair exactly like a repoint
+            # (review r5)
+            if os.path.isdir(link):
+                shutil.rmtree(link, ignore_errors=True)
+            else:
+                os.unlink(link)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            os.symlink(target, link)
+        elif os.readlink(link) != target:
             os.unlink(link)
             shutil.rmtree(ckpt, ignore_errors=True)
             os.symlink(target, link)
     else:
         os.symlink(target, link)
     stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
-    div, mul = _ts_micros_scale(spark, src_dir, os.path.realpath(link))
+    # cache key carries mtime+size so an in-place rewrite of the same
+    # path with a different physical ts unit re-probes instead of
+    # applying the stale scale (review r5); missing target falls back
+    # to the bare path — the probe then sees the empty source
+    try:
+        st = os.stat(target)
+        sig = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        sig = "absent"
+    div, mul = _ts_micros_scale(spark, src_dir, f"{os.path.realpath(link)}:{sig}")
     if (div, mul) != (1, 1):
         stream = stream.withColumn("ts", F.expr(f"ts div {div} * {mul}"))
     return stream, ckpt
@@ -157,9 +177,18 @@ def events_file_stream(
 
 def run_to_memory(stream: DataFrame, qname: str, ckpt: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink
-    (availableNow) and return the sink table. One definition of the
-    writeStream boilerplate for every streaming query."""
-    with stream_shuffle_scope(stream.sparkSession):
+    (availableNow) and return the result. One definition of the
+    writeStream boilerplate for every streaming query.
+
+    The memory sink pins the full result in the driver behind a
+    session-lifetime temp view; qnames are uuids, so repeated runs in
+    one session (parity sweeps, fuzz rounds) would accumulate without
+    bound. localCheckpoint detaches the rows from the sink so the temp
+    view can be dropped immediately — the checkpointed blocks are
+    released by the ContextCleaner when the returned DataFrame is
+    garbage-collected (review r5)."""
+    spark = stream.sparkSession
+    with stream_shuffle_scope(spark):
         q = (
             stream.writeStream.outputMode(output_mode)
             .format("memory")
@@ -169,4 +198,6 @@ def run_to_memory(stream: DataFrame, qname: str, ckpt: str, output_mode: str) ->
             .start()
         )
         q.awaitTermination()
-    return stream.sparkSession.table(qname)
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return out

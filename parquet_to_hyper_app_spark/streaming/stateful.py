@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 import pandas as pd
@@ -31,6 +32,33 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_seen 
 #: dollars across micro-batches would reintroduce order-dependent
 #: drift and break the decimal oracle once a stream has >1 batch
 STATE_SCHEMA = "n_events bigint, cents bigint, last_seen timestamp"
+
+_ONE_CENT = Decimal("1")
+
+
+def _cents_half_up(v: "np.ndarray") -> "np.ndarray":
+    """Integer cents of finite doubles under the engines' double →
+    DECIMAL(12,2) cast. Both Spark and DuckDB round the SHORTEST
+    DECIMAL REPR of the double half-away-from-zero — repr(1.005) is
+    '1.005' → 1.01 — while the binary double 1.005*100 is 100.4999…,
+    so the old floor(|v|·100 + 0.5) under-rounded every half-cent
+    value (review r5, divergence verified on both engines). Fast path
+    floor(a + 0.5) stands everywhere except values whose scaled
+    fraction sits within float error of the .5 boundary; those few
+    re-round through decimal.Decimal(repr(x)) exactly as the engines
+    do. The fuzz money() generator emits cent-exact doubles only, so
+    the boundary class never appears there — pinned by unit test
+    instead."""
+    a = np.abs(v) * 100.0
+    base = np.floor(a)
+    c = np.floor(a + 0.5)
+    suspicious = np.abs(a - base - 0.5) <= 64.0 * np.spacing(a) + 1e-9
+    if suspicious.any():
+        c[suspicious] = [
+            float(Decimal(repr(float(x))).scaleb(2).quantize(_ONE_CENT, ROUND_HALF_UP))
+            for x in np.abs(v[suspicious])
+        ]
+    return np.sign(v) * c
 
 
 def _update_profile(
@@ -54,19 +82,29 @@ def _update_profile(
         # .astype("int64") raised IntCastingNaNError on the first dirty
         # row — caught by tools/fuzz_data.py --profile dirty), while
         # n_events still counts every row like count(*). Rounding is
-        # sign-aware half-away-from-zero (floor(|v|·100 + 0.5)), the
-        # HALF_UP both engines use for decimal casts — pandas .round()
-        # is banker's and would flip exact half-cents.
+        # sign-aware half-away-from-zero over the shortest decimal
+        # repr (see _cents_half_up) — pandas .round() is banker's and
+        # would flip exact half-cents.
         v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
         kept = v[np.isfinite(v)]
-        c = np.sign(kept) * np.floor(np.abs(kept) * 100 + 0.5)
+        c = _cents_half_up(kept)
         # DECIMAL(12,2) domain on the ROUNDED cents, not the raw double
         # (review r5: 9999999999.995 passes |v| < 1e10 but rounds to
         # 10^12 cents, which overflows DECIMAL(12,2) and degrades to
         # NULL — i.e. drops from the sum — in both engines)
         cents += int(c[np.abs(c) <= 999_999_999_999].sum())
+        # NaT-safe last-seen fold: an all-NULL-ts chunk yields
+        # batch_max = NaT, and max(NaT, real_ts) stays NaT (NaT
+        # comparisons are always False) — it would poison every later
+        # chunk's fold, emitting NULL where the oracle's max(ts) is
+        # real (review r5)
         batch_max = pdf["ts"].max()
-        last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+        if not pd.isna(batch_max):
+            last_seen = (
+                batch_max
+                if last_seen is None or pd.isna(last_seen)
+                else max(last_seen, batch_max)
+            )
     state.update((n, cents, last_seen))
     yield pd.DataFrame(
         {

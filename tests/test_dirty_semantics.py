@@ -251,3 +251,48 @@ def test_ws_class_agrees_across_engines(spark):
 
     for t, st, dt in zip(hostile, spark_tokens, duck_tokens):
         assert st == dt == py_tokens(t), (repr(t), st, dt, py_tokens(t))
+
+
+def test_stateful_cents_fold_rounds_half_cents_like_decimal_cast():
+    """Half-cent doubles must round like the engines' double→DECIMAL
+    cast (shortest decimal repr, half away from zero): 1.005 → 1.01,
+    not the 1.00 that floor(|v|·100 + 0.5) produces on the binary
+    double 100.4999…."""
+    from parquet_to_hyper_app_spark.streaming.stateful import _update_profile
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "value": [1.005, 2.675, -1.005, 0.01],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+        }
+    )
+    state = _FakeState()
+    [out] = list(_update_profile((1,), iter([pdf]), state))
+    # 1.01 + 2.68 - 1.01 + 0.01
+    assert out["total_value"].iat[0] == pytest.approx(2.69)
+
+
+def test_stateful_last_seen_survives_all_nat_chunk():
+    """An all-NULL-ts chunk must not poison last_seen: max(NaT, ts) is
+    NaT forever because NaT comparisons are always False."""
+    from parquet_to_hyper_app_spark.streaming.stateful import _update_profile
+
+    nat_chunk = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "value": [1.0, 2.0],
+            "ts": pd.to_datetime([None, None]),
+        }
+    )
+    real_chunk = pd.DataFrame(
+        {
+            "user_id": [1],
+            "value": [3.0],
+            "ts": pd.to_datetime(["2024-06-01"]),
+        }
+    )
+    state = _FakeState()
+    [out] = list(_update_profile((1,), iter([nat_chunk, real_chunk]), state))
+    assert out["n_events"].iat[0] == 3
+    assert out["last_seen"].iat[0] == pd.Timestamp("2024-06-01")

@@ -149,8 +149,11 @@ def test_dedup_watermark_multibatch_stays_oracle_equivalent(spark, tmp_path):
     """Keys re-emitted after watermark state eviction (possible once the
     source runs multiple micro-batches) must not duplicate rows through
     the first-seen join — the emitted key set is deduped before the
-    join, so the result equals the batch GROUP BY regardless of
-    micro-batch layout."""
+    join, so the result equals the batch GROUP BY for any EVENT-TIME-
+    ORDERED batch layout (a key first arriving wholly behind the
+    advanced watermark would be eviction-dropped — see the
+    run_dedup_watermark contract; this harness orders files by event
+    time exactly so that case cannot occur)."""
     from parquet_to_hyper_app_spark.streaming.sinks import run_dedup_watermark
     from parquet_to_hyper_app_spark.streaming.source import RAW_EVENTS_SCHEMA
 
