@@ -61,12 +61,80 @@ def test_hot_keys_fit_driver_budget():
         f"run: python tools/parity.py --sf /root/testdata/sf0.01 "
         + " ".join(unproven)
     )
+    # the waiver is NOT renewable (verdict r5 item 3): a key that
+    # already consumed a deferral in a prior round must sit inside the
+    # budget now, local pass or not — otherwise sustained drift starves
+    # it forever (exactly what happened to the window quartet r4→r5)
+    state = load_state()
+    starved = [
+        k for k in outside if state["greens"].get(k, {}).get("deferred_rounds", 0) >= 1
+    ]
+    assert not starved, (
+        f"keys already deferred in a prior round are outside the budget "
+        f"AGAIN (waivers are one-round, not renewable): {starved}"
+    )
 
 
 def test_every_registered_key_is_listed():
     specs = load_all()
     ordered, _ = priority(specs, load_state())
     assert sorted(ordered) == sorted(specs)
+
+
+def test_drift_tier_sorts_by_starvation_then_staleness():
+    """Verdict r5 item 1: the drift tier must order by consumed
+    deferrals (desc), then oldest driver proof, then name — NOT
+    alphabetically, which starved late-alphabet keys (window_*) for
+    two consecutive rounds when >50 keys drifted at once."""
+    specs = load_all()
+    keys = sorted(specs)[:4]
+    a, b, c, d = keys
+    state = {
+        "greens": {
+            # all four drifted (bogus fingerprints); starvation/round
+            # history should decide the order, not the names
+            a: {"round": 1, "fingerprint": "x", "failed": False},
+            b: {"round": 3, "fingerprint": "x", "failed": False, "deferred_rounds": 2},
+            c: {"round": 2, "fingerprint": "x", "failed": False},
+            d: {"round": 4, "fingerprint": "x", "failed": False, "deferred_rounds": 1},
+        },
+        "force_recheck": [],
+    }
+    sub = {k: specs[k] for k in keys}
+    ordered, reason = priority(sub, state)
+    assert ordered == [b, d, a, c], ordered
+    assert set(reason) == set(keys)
+
+
+def test_record_increments_deferred_for_skipped_hot_keys(tmp_path, monkeypatch):
+    """A hot key that gets no driver row in the folded round consumed a
+    waiver: record() must count it (and reset the counter on keys that
+    did get a row), so priority() hard-promotes starved keys."""
+    import tools.greens as greens
+
+    ledger = tmp_path / "local_parity.json"
+    ledger.write_text("{}\n")
+    monkeypatch.setattr(greens, "LEDGER_PATH", str(ledger))
+
+    specs = load_all()
+    keys = sorted(specs)[:2]
+    checked, skipped = keys
+    state = {
+        "greens": {
+            checked: {"round": 1, "fingerprint": "x", "failed": False, "deferred_rounds": 1},
+            skipped: {"round": 1, "fingerprint": "x", "failed": False},
+        },
+        "force_recheck": [],
+    }
+    greens.record(
+        {k: specs[k] for k in keys},
+        state,
+        {checked: {"hash_match": True, "err": None, "spark_rows": 1}},
+        round_no=6,
+    )
+    assert state["greens"][skipped]["deferred_rounds"] == 1
+    assert state["greens"][checked].get("deferred_rounds", 0) == 0
+    assert state["greens"][checked]["round"] == 6
 
 
 def test_record_clears_local_parity_ledger(tmp_path, monkeypatch):

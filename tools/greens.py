@@ -240,11 +240,18 @@ def priority(specs: dict[str, QuerySpec], state: dict) -> tuple[list[str], dict[
             reason[key] = f"last driver row failed (r{g['round']})"
         else:
             tiers["rotate"].append(key)
-    # sort every tier by key name (rotation: round first) — the registry
-    # dict's insertion order depends on which module got imported first
-    # in the current process, so it is NOT stable across entrypoints
+    # deterministic tier ordering — the registry dict's insertion order
+    # depends on which module got imported first in the current process,
+    # so it is NOT stable across entrypoints. The drift tier sorts by
+    # starvation first: keys whose waiver was already consumed in a
+    # prior round (deferred_rounds desc), then oldest driver proof
+    # (round asc), then name. Alphabetical-only sorting starved the
+    # window_* quartet for two consecutive rounds when >50 keys
+    # drifted at once (verdict r5 item 1).
     tiers["never"].sort()
-    tiers["drift"].sort()
+    tiers["drift"].sort(
+        key=lambda k: (-greens[k].get("deferred_rounds", 0), greens[k]["round"], k)
+    )
     tiers["failed"].sort()
     tiers["rotate"].sort(key=lambda k: (greens[k]["round"], k))
     ordered = tiers["never"] + tiers["drift"] + tiers["failed"] + tiers["rotate"]
@@ -259,6 +266,15 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
     if os.path.exists(LEDGER_PATH):
         with open(LEDGER_PATH, "w") as f:
             f.write("{}\n")
+    # starvation ledger (verdict r5 item 3): a key that was hot going
+    # into this round but got NO driver row consumed a waiver — count
+    # it, so priority() hard-promotes it and the tripwire can refuse a
+    # second consecutive deferral that would fall outside the budget
+    _, hot = priority(specs, state)
+    for key in hot:
+        g = state["greens"].get(key)
+        if g is not None and key not in rows:
+            g["deferred_rounds"] = g.get("deferred_rounds", 0) + 1
     for key, row in rows.items():
         if key not in specs:
             continue
