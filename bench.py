@@ -56,6 +56,15 @@ HEADLINE = [
     # stateful streaming query (post state-partition sizing)
     "dedup_ngram_jaccard",
     "stream_stream_join",
+    # round-6 additions (verdict r5 item 6): the waivered families were
+    # correctness-checked but thin in the headline set — window, text
+    # and streaming each gain coverage so a perf regression there can't
+    # hide between rounds
+    "window_running_total",
+    "window_rank",
+    "text_tfidf",
+    "text_token_bpe",
+    "stream_session_window",
 ]
 
 

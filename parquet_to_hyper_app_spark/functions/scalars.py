@@ -13,7 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.registry import query
+
+#: integer-literal gate for the cross-engine try_cast contract:
+#: optional padding from the shared six-char ASCII WS class (which is
+#: exactly the set DuckDB's TRY_CAST trims — probed on the pinned
+#: version), a sign, digits. Spark's try_cast trims a WIDER Java
+#: whitespace+ISO-control set (UTF8String.trimAll: U+2028, \x00-\x1F,
+#: ...), so BOTH sides gate on this class: wider-Java-only padding
+#: degrades to NULL on both engines instead of diverging (advice r6).
+_INT_LITERAL = rf"^{WS}*[+-]?\d+{WS}*$"
 
 
 @query(
@@ -172,9 +182,9 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_trycast",
-    oracle=r"""
+    oracle=rf"""
     SELECT p_partkey,
-           CASE WHEN regexp_matches(p_name, '^\s*[+-]?\d+\s*$')
+           CASE WHEN regexp_matches(p_name, '{_INT_LITERAL}')
                 THEN TRY_CAST(p_name AS INTEGER) END AS name_as_int,
            TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
            p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero
@@ -185,16 +195,21 @@ def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S25c: error-safe casts — try_cast yields NULL instead of
     failing (ANSI-mode-safe pipelines), try_divide NULLs on zero.
 
-    The pinned string→int contract is Spark's ANSI-style rule —
-    optional whitespace/sign around an INTEGER literal, NULL for
-    anything else — which the oracle replicates with a regexp gate,
-    because DuckDB's bare TRY_CAST additionally ROUNDS fractional
-    strings ('1.5' → 2) where Spark yields NULL (review r5; both
-    behaviors verified on the pinned engine versions)."""
+    The pinned string→int contract: an integer literal padded only by
+    the shared ASCII WS class (crosshash.WS), NULL for anything else.
+    BOTH sides gate on _INT_LITERAL — the oracle because DuckDB's bare
+    TRY_CAST additionally ROUNDS fractional strings ('1.5' → 2) where
+    Spark yields NULL (review r5), the Spark side because its try_cast
+    trims the wider Java whitespace+ISO-control set (\\x0B handled by
+    RE2's \\s differently, U+2028, ...) where DuckDB's does not
+    (advice r6; both behaviors verified on the pinned versions)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.when(
+            F.col("p_name").rlike(_INT_LITERAL),
+            F.col("p_name").try_cast("int"),
+        ).alias("name_as_int"),
         # try_cast here too: the docstring advertises the error-safe
         # cast, and in the degraded no-ansi-conf mode a plain cast
         # could throw where the oracle's TRY_CAST NULLs (review r5)

@@ -575,36 +575,27 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13c: pivot — order-status counts + segment spend in ONE pass.
 
-    The pivot carries two aggregates (count + decimal spend), so the
-    former second aggregation + rejoin is gone — that shape executed
-    the orders⋈customer join twice, added a third shuffle, and its
-    equi-join silently dropped a NULL market segment the oracle's
-    GROUP BY keeps (review r5). `total` reassembles from the
-    per-status decimal sums: decimal addition is exact and the status
-    domain is closed over F/O/P (TPC-H + the fuzz contract — the same
-    closure the oracle's three CASE arms assume). An all-NULL-price
-    segment stays NULL like SQL sum, not 0.
+    The pivot is spelled as conditional aggregation (count of a CASE
+    arm per pinned status value) — exactly what Catalyst compiles
+    ``.pivot("o_orderstatus", ["F", "O", "P"])`` into, but it lets
+    ``total`` ride the SAME groupBy as an INDEPENDENT unconditional
+    decimal sum. The earlier ``.pivot()`` shape reassembled total from
+    the three per-status spends, which silently diverged from the
+    oracle's sum(o_totalprice) whenever a status lands outside
+    {F,O,P} or NULL (advice r6) — now out-of-domain rows drop from
+    the counts but stay in total, on both engines, enforced by the
+    dirty-fuzz profile's out-of-domain status row. One shuffle, one
+    pass; a NULL market segment survives (review r5); an all-NULL
+    price segment stays NULL like SQL sum, not 0.
     """
     orders, customer = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
-    pivoted = (
-        joined.groupBy("c_mktsegment")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec2("o_totalprice")).alias("spend"))
-    )
-    spends = [F.col(f"{s}_spend") for s in ("F", "O", "P")]
-    zero = F.lit(0).cast("decimal(12,2)")
-    total = (
-        F.when(sum(s.isNull().cast("int") for s in spends) == 3, F.lit(None))
-        .otherwise(sum((F.coalesce(s, zero) for s in spends), zero))
-        .cast("double")
-    )
-    return pivoted.select(
-        "c_mktsegment",
-        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
-        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
-        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
-        total.alias("total"),
+    return joined.groupBy("c_mktsegment").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+        F.sum(dec2("o_totalprice")).cast("double").alias("total"),
     )
 
 

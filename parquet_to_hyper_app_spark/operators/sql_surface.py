@@ -93,7 +93,9 @@ def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ag.o_orderstatus, mx.biggest_order, mn.smallest_order,
            ag.max_price, ag.min_price
-    FROM ag LEFT JOIN mx USING (o_orderstatus) LEFT JOIN mn USING (o_orderstatus)
+    FROM ag
+    LEFT JOIN mx ON ag.o_orderstatus IS NOT DISTINCT FROM mx.o_orderstatus
+    LEFT JOIN mn ON ag.o_orderstatus IS NOT DISTINCT FROM mn.o_orderstatus
     """,
 )
 def sql_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +110,10 @@ def sql_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank CTE (and its native arg_min) skip nulls — the dirty fuzz
     sweep caught exactly that flip. The FILTER clause keeps groups
     whose every price is NULL (arg columns go NULL, matching the
-    oracle's LEFT JOIN)."""
+    oracle's LEFT JOIN). The oracle's reassembly joins NULL-safely
+    (IS NOT DISTINCT FROM): GROUP BY makes a NULL status a real group
+    whose arg pick must survive the join — a plain USING join dropped
+    it, caught by the r6 out-of-domain/NULL status fuzz plant."""
     v = _view(spark, sf_dir, "orders")
     return spark.sql(
         f"""

@@ -49,10 +49,27 @@ def _cents_half_up(v: "np.ndarray") -> "np.ndarray":
     do. The fuzz money() generator emits cent-exact doubles only, so
     the boundary class never appears there — pinned by unit test
     instead."""
-    a = np.abs(v) * 100.0
-    base = np.floor(a)
-    c = np.floor(a + 0.5)
-    suspicious = np.abs(a - base - 0.5) <= 64.0 * np.spacing(a) + 1e-9
+    # values near DBL_MAX overflow to inf when scaled to cents — that
+    # inf rides the same dropped-by-domain-filter path as any other
+    # out-of-range magnitude, so the IEEE overflow/invalid flags are
+    # expected, not errors
+    with np.errstate(over="ignore", invalid="ignore"):
+        a = np.abs(v) * 100.0
+        base = np.floor(a)
+        c = np.floor(a + 0.5)
+        suspicious = np.abs(a - base - 0.5) <= 64.0 * np.spacing(a) + 1e-9
+    # Out-of-DECIMAL(12,2)-domain magnitudes must SKIP the exact
+    # re-round: above ~2^53 every float is an integer, so a-base-0.5
+    # is exactly -0.5 while np.spacing(a) is enormous — the boundary
+    # test flags ALL of them — and Decimal(repr(x)).scaleb(2).quantize
+    # on |v| >= ~1e26 overflows the default 28-digit context,
+    # raising InvalidOperation and killing the whole streaming query
+    # on one dirty row (advice r5). Rounding fidelity is irrelevant
+    # there: the caller's |c| <= 999_999_999_999 filter drops every
+    # such value regardless. The +1 keeps true boundary values like
+    # 9999999999.995 (rounds UP to 10^12 cents, then drops) on the
+    # exact path.
+    suspicious &= a <= 1e12 + 1.0
     if suspicious.any():
         c[suspicious] = [
             float(Decimal(repr(float(x))).scaleb(2).quantize(_ONE_CENT, ROUND_HALF_UP))

@@ -273,6 +273,48 @@ def test_stateful_cents_fold_rounds_half_cents_like_decimal_cast():
     assert out["total_value"].iat[0] == pytest.approx(2.69)
 
 
+def test_stateful_cents_fold_survives_huge_magnitudes():
+    """|v| >= ~1e26 used to kill the whole streaming query: above 2^53
+    the scaled fraction test flags EVERY value as a half-cent boundary
+    and Decimal(repr(x)).scaleb(2).quantize overflows the default
+    28-digit context (InvalidOperation — advice r6). Out-of-domain
+    magnitudes must degrade to dropped-from-sum like any other
+    DECIMAL(12,2) overflow, never raise."""
+    from parquet_to_hyper_app_spark.streaming.stateful import (
+        _cents_half_up,
+        _update_profile,
+    )
+
+    # the direct repro from the advice: must not raise
+    out = _cents_half_up(np.array([1e30, -1e26, 1.7e308]))
+    assert (np.abs(out) > 999_999_999_999).all()
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "value": [1e30, -1e26, 1.7e308, 1.25],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+        }
+    )
+    state = _FakeState()
+    [res] = list(_update_profile((1,), iter([pdf]), state))
+    assert res["n_events"].iat[0] == 4
+    assert res["total_value"].iat[0] == pytest.approx(1.25)
+
+    # boundary value just inside the exact-path window still rounds
+    # through Decimal and then drops on the DECIMAL(12,2) filter
+    state2 = _FakeState()
+    pdf2 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "value": [9999999999.995, 0.125],
+            "ts": pd.to_datetime(["2024-01-01"] * 2),
+        }
+    )
+    [res2] = list(_update_profile((1,), iter([pdf2]), state2))
+    assert res2["total_value"].iat[0] == pytest.approx(0.13)
+
+
 def test_stateful_last_seen_survives_all_nat_chunk():
     """An all-NULL-ts chunk must not poison last_seen: max(NaT, ts) is
     NaT forever because NaT comparisons are always False."""

@@ -134,11 +134,16 @@ def part_table(rng, n) -> pa.Table:
             "p_partkey": pa.array(range(1, n + 1), pa.int64()),
             # rows 0-3: numeric-looking names pin the try_cast contract
             # (fractional -> NULL both engines, padded/signed ints cast);
-            # row 4: non-ASCII pins the levenshtein ASCII gate (r5)
+            # row 4: non-ASCII pins the levenshtein ASCII gate (r5);
+            # rows 5-6: whitespace-dialect padding pins the WS-class
+            # integer gate (advice r6) — \x0B is in-contract (DuckDB's
+            # TRY_CAST trims it, crosshash.WS names it), U+2028 is
+            # out-of-contract (only Spark's wider Java trimAll strips
+            # it, so BOTH gated sides must yield NULL)
             "p_name": pa.array(
                 ["1.5", " 42 ", "+7", "99999999999"]
-                + ["pärt 中文 name 🎉"]
-                + [f"part {WORDS[i % len(WORDS)]} {i}" for i in range(5, n)]
+                + ["pärt 中文 name 🎉", "\x0b42\t", "\u2028" + "42"]
+                + [f"part {WORDS[i % len(WORDS)]} {i}" for i in range(7, n)]
             ),
             "p_brand": pa.array(brands),
             "p_type": pa.array([types[i % 6] for i in range(n)]),
@@ -177,6 +182,13 @@ def orders_table(rng, n, n_cust, dirty) -> pa.Table:
         mask = np.zeros(n, bool)
         mask[4] = True
         cols["o_totalprice"] = pa.array(total, mask=mask)
+        # out-of-domain + NULL order status (advice r6): every consumer
+        # must pin its contract explicitly — pivot_status counts only
+        # F/O/P but totals ALL rows; rollup/cube group the NULL like
+        # SQL GROUP BY; status filters simply don't match either row
+        status: list = [["O", "F", "P"][i % 3] for i in range(n)]
+        status[5], status[6] = "X", None
+        cols["o_orderstatus"] = pa.array(status)
     return pa.table(cols)
 
 
@@ -237,6 +249,15 @@ def events_table(rng, n, n_users, dirty) -> pa.Table:
     if dirty:
         v = val.copy()
         v[1], v[2] = np.inf, -np.inf
+        # half-cent boundary values (verdict r5 item 4, pinned in
+        # d532239's unit tests, now fuzz-enforced cross-engine): the
+        # engines' double→DECIMAL(12,2) cast rounds the SHORTEST
+        # DECIMAL REPR half away from zero — repr(1.005) → 1.01 even
+        # though the binary double is 1.00499…; 0.125 is an exact
+        # binary half-cent (±12.5 → ±13, banker's would give ±12);
+        # planted OUTSIDE the all-equal [0:50) block so the zscore/
+        # stddev degenerate-window shape survives
+        v[50], v[51], v[52], v[53], v[54] = 1.005, 2.675, -1.005, 0.125, -0.125
         mask = np.zeros(n, bool)
         mask[3] = True
         cols["value"] = pa.array(v, mask=mask)

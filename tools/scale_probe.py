@@ -54,6 +54,7 @@ PROBE_KEYS = [
     "sessionize",
     "tpch_q1",
     "tpch_q9",
+    "tpch_q18",
     "join_multiway",
     "events_funnel",
     "text_ngram_lm",
