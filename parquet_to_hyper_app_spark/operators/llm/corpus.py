@@ -17,7 +17,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
-from parquet_to_hyper_app_spark.functions.crosshash import WS
+from parquet_to_hyper_app_spark.functions.crosshash import (
+    HASH60_SPARK as _HASH60_SPARK,
+    WS,
+)
+from parquet_to_hyper_app_spark.operators.llm.dedup import (
+    NGRAM_PAIRS_ORACLE_TMPL,
+    connected_components,
+    ngram_jaccard_pairs,
+)
 from parquet_to_hyper_app_spark.operators.llm.text import (
     QUALITY_MAX_CHARS,
     QUALITY_MAX_DIGIT_RATIO,
@@ -505,4 +513,149 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+#: temperature-sampling exponent (rate ∝ prevalence^-ALPHA). Pinned at
+#: 0.5 so the only transcendental in the rate formula is sqrt — IEEE
+#: requires sqrt correctly rounded, so Spark (Java) and DuckDB produce
+#: the BIT-IDENTICAL double and the kept/dropped knife-edge cannot
+#: diverge (pow() carries no such guarantee across libms; multilingual
+#: pipelines commonly run alpha in the 0.2-0.7 band, mT5 uses 0.3).
+_SAMPLE_ALPHA = 0.5
+#: base acceptance: a source at corpus-average prevalence keeps ~
+#: BASE/sqrt(1/n_sources) of its docs; small sources saturate at 1.0
+_SAMPLE_BASE = 0.2
+#: 2^60 as an exact double — the denominator that maps the shared
+#: 60-bit md5 hash onto [0, 1)
+_HASH60_SPAN = float(1 << 60)
+
+
+@query(
+    "corpus_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, n_docs,
+               least(1.0, {_SAMPLE_BASE} / sqrt(CAST(n_docs AS DOUBLE)
+                   / CAST(sum(n_docs) OVER () AS DOUBLE))) AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.source, round(r.rate, 6) AS sample_rate,
+           (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / {_HASH60_SPAN!r}) < r.rate AS kept
+    FROM documents d
+    JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+    """,
+)
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source sampling — the corpus-balancing
+    stage of a multilingual/multi-source training pipeline: big
+    sources are downsampled with rate ∝ prevalence^-0.5 (capped at 1,
+    so low-resource sources keep everything), and the keep decision is
+    a DETERMINISTIC hash gate, not an RNG — re-running the pipeline
+    (or re-running one failed partition) keeps exactly the same
+    documents, which is what makes the sample reproducible and
+    incrementally extendable at 100 TB.
+
+    Plan shape: one grouped count per source (tiny — sources are
+    bounded), a window total over that per-source frame, then the
+    rates broadcast back onto the corpus — the full-corpus pass is a
+    narrow map with zero extra shuffle. A NULL source is a real group
+    (null-safe join), mirroring GROUP BY semantics.
+
+    Cross-engine exactness: the gate hash is the shared 60-bit md5
+    (crosshash), the rate formula uses only correctly-rounded IEEE ops
+    (/, sqrt, min), so both engines compute the identical double and
+    the u < rate comparison can never flip between them."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(_SAMPLE_BASE)
+            / F.sqrt(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(Window.partitionBy()).cast("double")
+            ),
+        ),
+    ).select(F.col("source").alias("__rate_source"), "rate")
+    u = F.expr(_HASH60_SPARK.format(col="CAST(doc_id AS STRING)")) / F.lit(_HASH60_SPAN)
+    return (
+        docs.join(F.broadcast(rates), docs["source"].eqNullSafe(F.col("__rate_source")))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("rate"), 6).alias("sample_rate"),
+            (u < F.col("rate")).alias("kept"),
+        )
+    )
+
+
+@query(
+    "dedup_canonical_keep",
+    oracle=f"""
+    WITH RECURSIVE __pairs AS ({NGRAM_PAIRS_ORACLE_TMPL.format(src="documents")}),
+    __edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM __pairs
+        UNION SELECT doc_b AS src, doc_a AS dst FROM __pairs
+    ),
+    __reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM __edges e JOIN __reach r ON e.dst = r.doc_id
+    ),
+    __labels AS (
+        SELECT doc_id, min(label) AS cluster_id FROM __reach GROUP BY doc_id
+    ),
+    __sized AS (
+        SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT l.doc_id, l.cluster_id, s.n_chars,
+           row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY s.n_chars DESC, l.doc_id ASC) = 1 AS keep
+    FROM __labels l JOIN __sized s USING (doc_id)
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the stage after near-dup clustering that
+    every production dedup actually ships: within each cluster keep
+    ONE canonical document, chosen by an explicit, deterministic rule
+    (longest text wins — the most complete variant — ties broken by
+    smallest doc_id), and emit a keep flag for every document so the
+    drop set is auditable.
+
+    Builds on the exact word-bigram J ≥ 0.5 pair graph
+    (`ngram_jaccard_pairs`, losslessness proven against the exhaustive
+    join) and bounded-iteration connected components
+    (`connected_components`); the rule itself is one row_number window
+    over cluster_id. At 100 TB: one extra shuffle on cluster_id;
+    cluster populations are near-dup cluster sizes (small by
+    construction), so no skew pathology — a pathological mega-cluster
+    surfaces in the components step long before this one.
+
+    The oracle recomputes the same survivors from the recursive
+    reachability closure + the same (n_chars DESC, doc_id ASC) rank —
+    exact, not rows-only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    labels = connected_components(pairs, docs.select("doc_id"))
+    sized = docs.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labels.join(sized, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_chars", "keep")
     )
