@@ -222,3 +222,19 @@ def test_q9_window_bridge_is_single_exchange(spark):
         1 for ln in final.splitlines() if "FileScan" in ln and "lineitem" in ln
     )
     assert li_scans == 1, f"lineitem must scan once, saw {li_scans}"
+
+
+def test_sample_temperature_corpus_side_is_narrow(spark):
+    """corpus_sample_temperature's full-corpus pass must be a narrow
+    map over a broadcast of the per-source rate frame: the only
+    shuffles in the plan belong to the TINY per-source aggregate (hash
+    agg + single-partition window), and the corpus side joins via
+    BroadcastHashJoin — never a shuffle of the documents table and
+    never a nested loop (the null-safe join must compile to
+    coalesce/isnull HASH keys, not BNLJ)."""
+    df = load_all()["corpus_sample_temperature"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.broadcast_joins == 1, s
+    assert s.nested_loop_joins == 0, s
+    assert s.shuffles == 2, s  # per-source agg + window total, both tiny
