@@ -209,3 +209,39 @@ def test_ngram_jaccard_pairs_match_bruteforce(_spark, texts):
     df = _spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()}
     assert got == expect, (sorted(got - expect), sorted(expect - got))
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    v=st.one_of(
+        st.floats(min_value=-1e10, max_value=1e10, allow_nan=False),
+        # the half-cent boundary family the fast path must hand off
+        st.integers(min_value=-10_000_00, max_value=10_000_00).map(
+            lambda c: c / 100.0 + 0.005
+        ),
+        # out-of-domain magnitudes: must never raise (advice r6 - the
+        # Decimal re-round overflowed its context above ~1e26)
+        st.floats(min_value=1e10, max_value=1.7e308, allow_nan=False),
+        st.floats(min_value=-1.7e308, max_value=-1e10, allow_nan=False),
+    )
+)
+def test_cents_half_up_matches_decimal_reference(v):
+    """_cents_half_up must agree with the engines' double->DECIMAL cast
+    (round the shortest decimal repr half away from zero) everywhere in
+    the DECIMAL(12,2) domain, and degrade (not raise) outside it."""
+    import decimal as _d
+
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.streaming.stateful import _cents_half_up
+
+    (got,) = _cents_half_up(np.array([v], dtype="float64"))
+    if abs(v) * 100.0 > 1e12 + 1.0:
+        # out of domain: any value that the caller's cents filter drops
+        assert abs(got) > 999_999_999_999
+        return
+    with _d.localcontext(prec=60):
+        want = float(
+            _d.Decimal(repr(float(v))).scaleb(2).quantize(_d.Decimal(1), _d.ROUND_HALF_UP)
+        )
+    assert got == want, (v, got, want)
