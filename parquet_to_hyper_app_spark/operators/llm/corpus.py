@@ -516,13 +516,12 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: temperature-sampling exponent (rate ∝ prevalence^-ALPHA). Pinned at
-#: 0.5 so the only transcendental in the rate formula is sqrt — IEEE
-#: requires sqrt correctly rounded, so Spark (Java) and DuckDB produce
-#: the BIT-IDENTICAL double and the kept/dropped knife-edge cannot
-#: diverge (pow() carries no such guarantee across libms; multilingual
-#: pipelines commonly run alpha in the 0.2-0.7 band, mT5 uses 0.3).
-_SAMPLE_ALPHA = 0.5
+#: The temperature exponent (rate ∝ prevalence^-alpha) is pinned at
+#: 0.5 STRUCTURALLY — spelled as sqrt, not pow(x, alpha) — because
+#: IEEE requires sqrt correctly rounded, so Spark (Java) and DuckDB
+#: produce the BIT-IDENTICAL double and the kept/dropped knife-edge
+#: cannot diverge (pow() carries no such guarantee across libms;
+#: multilingual pipelines commonly run alpha in the 0.2-0.7 band).
 #: base acceptance: a source at corpus-average prevalence keeps ~
 #: BASE/sqrt(1/n_sources) of its docs; small sources saturate at 1.0
 _SAMPLE_BASE = 0.2
