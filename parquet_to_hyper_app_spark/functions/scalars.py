@@ -313,12 +313,16 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
                              ELSE 'overflow' END), ','), '')
            END AS head4_csv,
+           -- DECIMAL(24,6) round-trip, not round(x, 6): see the Spark
+           -- side — DuckDB's round is binary x*1e6 arithmetic and
+           -- splits from Spark's shortest-repr round at 1e8-magnitude
            CASE WHEN len(embedding) > 0 THEN
-               round(sqrt(list_sum(list_transform(
-                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+               CAST(CAST(sqrt(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   AS DECIMAL(24,6)) AS DOUBLE)
            END AS l2_norm,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                 / len(embedding), 6) + 0.0 AS mean_dim
+           CAST(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / len(embedding) AS DECIMAL(24,6)) AS DOUBLE) + 0.0 AS mean_dim
     FROM embeddings
     """,
 )
@@ -357,26 +361,38 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head4_csv"
         ),
         # empty-array guard: Spark's fold of [] yields the 0.0 init
-        # while DuckDB's list_sum([]) is NULL — pin NULL on both
+        # while DuckDB's list_sum([]) is NULL — pin NULL on both.
+        # 6-fraction-digit rounding goes through a DECIMAL(24,6)
+        # round-trip, NOT round(x, 6): Spark's round converts via the
+        # double's SHORTEST DECIMAL REPR (BigDecimal) while DuckDB's
+        # round is binary x*1e6 arithmetic, and at the dirty profile's
+        # 1e8-scale vectors the norm (~7.5e8) puts double spacing
+        # (~1.2e-7) within an order of the 6th decimal — seed 11 landed
+        # a value on the half boundary and the engines split (r6 fuzz).
+        # The double→DECIMAL cast is the verified shortest-repr
+        # HALF_UP primitive in BOTH engines (same contract the cents
+        # fold pins), so the round-trip cannot diverge. Domain:
+        # DECIMAL(24,6) holds |x| < 1e18 — far above any vector this
+        # schema ships (dirty-profile max is a ~7.5e8 norm); beyond it
+        # Spark degrades to NULL while the DuckDB oracle hard-errors,
+        # the same out-of-contract line head4_csv draws at 1e12.
         F.when(
             F.size("embedding") > 0,
-            F.round(
-                F.sqrt(
-                    F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
-                ),
-                6,
-            ),
+            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
+            .cast("decimal(24,6)")
+            .cast("double"),
         ).alias("l2_norm"),
         # `+ 0.0` collapses IEEE signed zero: a near-zero negative mean
         # (e.g. a denormal-scale vector) rounds to -0.0 in one engine
         # and +0.0 in the other; -0.0 + 0.0 = +0.0 in both (caught by
         # the adversarial-data sweep, tools/fuzz_data.py)
         (
-            F.round(
+            (
                 F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("embedding"),
-                6,
+                / F.size("embedding")
             )
+            .cast("decimal(24,6)")
+            .cast("double")
             + F.lit(0.0)
         ).alias("mean_dim"),
     )
