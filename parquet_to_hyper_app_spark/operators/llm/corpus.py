@@ -658,3 +658,123 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "n_chars", "keep")
     )
+
+
+#: asymmetric-containment threshold: emit src→dst when ≥ 80% of the
+#: source doc's distinct word bigrams appear in the target doc
+_CONTAIN_T = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH __sized AS (
+        SELECT doc_id, lang, bigrams FROM (
+            SELECT doc_id, lang,
+                   list_filter(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 1, 1) + 1),
+                       i -> toks[i] || ' ' || coalesce(toks[i+1], ''))),
+                       g -> g <> '') AS bigrams
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            )
+        ) WHERE len(bigrams) > 0
+    )
+    SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+           CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
+                AS DOUBLE) / len(a.bigrams) AS containment
+    FROM __sized a JOIN __sized b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
+               AS DOUBLE) / len(a.bigrams) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs — the dedup dimension
+    Jaccard misses: a short document whose content is almost entirely
+    embedded in a longer one (boilerplate-wrapped rehosts, quoted
+    articles, expanded revisions) scores low on Jaccard (the union is
+    dominated by the big doc) but high on containment
+    C(src→dst) = |src ∩ dst| / |src|. Emits every ORDERED pair with
+    C ≥ 0.8 over distinct word bigrams, within language.
+
+    Candidate scheme (prefix filter, containment form): rank each
+    doc's bigrams by (document frequency asc, hash) within its lang —
+    the same global order the Jaccard miner uses. C ≥ t forces
+    |∩| ≥ ⌈t·n_src⌉, so by pigeonhole the smallest common bigram sits
+    within the source's first n_src − ⌈t·n_src⌉ + 1 ranked bigrams
+    (at t = 0.8, ~20% of the doc). Candidates therefore come from an
+    equi-join of SOURCE PREFIXES against the FULL (lang, bigram)
+    index of targets — containment puts no size bound on the target,
+    so the target side cannot be prefix-pruned, and that full index
+    is exactly one explode of corpus gram volume. The exact verify
+    intersects per-doc int64 hash arrays; the exhaustive within-lang
+    oracle proves the prefix filter lossless.
+
+    At 100 TB: candidate volume is Σ_src prefix_len · df(gram) —
+    dominated by rare grams exactly like the Jaccard path; the
+    quadratic regime appears only when one gram is near-universal
+    within a language, which the df-ascending prefix ranking pushes
+    out of every prefix. One shuffle each for df counts, prefix rank,
+    candidate join, and verify — all on keys that scale with corpus
+    volume, never pairs²."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    grams = (
+        docs.filter(F.col("text").rlike(r"\S"))
+        .withColumn("__toks", toks)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+                " i -> concat_ws(' ', get(__toks, i-1), coalesce(get(__toks, i), ''))))"
+            ).alias("bigrams"),
+        )
+        .withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
+        .withColumn("hashes", F.transform("bigrams", lambda g: F.xxhash64(g)))
+        .drop("bigrams")
+        .withColumn("n", F.size("hashes"))
+        .persist()  # read 3x: df ranking, source prefixes, verify arrays
+    )
+    occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
+    df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
+    ).cast("int")
+    src_pref = ranked.filter(F.col("pos") < prefix_len).select(
+        F.col("doc_id").alias("src"), "lang", F.col("h").alias("ph")
+    )
+    dst_index = occ.select(F.col("doc_id").alias("dst"), "lang", F.col("h").alias("ph"))
+    cands = (
+        src_pref.join(dst_index, ["lang", "ph"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    a = grams.select(
+        F.col("doc_id").alias("src"), F.col("hashes").alias("ha"), F.col("n").alias("na")
+    )
+    b = grams.select(F.col("doc_id").alias("dst"), F.col("hashes").alias("hb"))
+    contain = (
+        F.size(F.array_intersect("ha", "hb")).cast("double") / F.col("na")
+    )
+    return (
+        cands.join(a, "src")
+        .join(b, "dst")
+        .withColumn("containment", contain)
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select(
+            F.col("src").alias("doc_src"),
+            F.col("dst").alias("doc_dst"),
+            "containment",
+        )
+    )
