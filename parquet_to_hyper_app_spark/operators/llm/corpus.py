@@ -751,12 +751,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
     ).cast("int")
     src_pref = ranked.filter(F.col("pos") < prefix_len).select(
-        F.col("doc_id").alias("src"), "lang", F.col("h").alias("ph")
+        F.col("doc_id").alias("src"), "lang", F.col("h").alias("ph"), F.col("n").alias("ns")
     )
-    dst_index = occ.select(F.col("doc_id").alias("dst"), "lang", F.col("h").alias("ph"))
+    dst_index = occ.select(
+        F.col("doc_id").alias("dst"), "lang", F.col("h").alias("ph"), F.col("n").alias("nd")
+    )
     cands = (
         src_pref.join(dst_index, ["lang", "ph"])
-        .filter(F.col("src") != F.col("dst"))
+        # size prune, lossless: C ≥ t ⟹ n_dst ≥ |∩| ≥ ⌈t·n_src⌉ — a
+        # target with fewer distinct grams than 80% of the source can
+        # never contain it, so the pair dies inside the join before
+        # the distinct/verify stages materialize it
+        .filter((F.col("src") != F.col("dst")) & (F.col("nd") >= F.ceil(F.col("ns") * F.lit(_CONTAIN_T))))
         .select("src", "dst")
         .distinct()
     )
