@@ -49,6 +49,7 @@ PROBE_KEYS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_embedding_lsh",
     "join_asof",
     "sessionize",
