@@ -23,7 +23,11 @@ from parquet_to_hyper_app_spark.registry import query
 #: whitespace+ISO-control set (UTF8String.trimAll: U+2028, \x00-\x1F,
 #: ...), so BOTH sides gate on this class: wider-Java-only padding
 #: degrades to NULL on both engines instead of diverging (advice r6).
-_INT_LITERAL = rf"^{WS}*[+-]?\d+{WS}*$"
+#: Anchored with \z, not $: Java's `$` (no MULTILINE) matches BEFORE a
+#: final Unicode line terminator, so a '42' + U+2028 string passed the Spark gate
+#: while RE2's end-of-text `$` failed it in the oracle (review r6,
+#: verified on both engines); \z is end-of-input in both dialects.
+_INT_LITERAL = rf"^{WS}*[+-]?\d+{WS}*\z"
 
 
 @query(
@@ -33,7 +37,7 @@ _INT_LITERAL = rf"^{WS}*[+-]?\d+{WS}*$"
            upper(p_name) AS name_upper,
            substr(p_name, 1, 5) AS name_head,
            p_brand || ':' || p_type AS brand_type,
-           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_extract(p_name, '([a-z]+)\z', 1) AS last_word,
            CAST(length(p_name) AS BIGINT) AS name_len,
            replace(p_name, ' ', '_') AS name_snake,
            split_part(p_name, ' ', 2) AS second_word
@@ -52,7 +56,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         # concat (NULL-propagating) matches the oracle's `||`;
         # concat_ws would silently skip NULL operands
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_extract("p_name", r"([a-z]+)\z", 1).alias("last_word"),
         F.length("p_name").cast("long").alias("name_len"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
@@ -146,8 +150,10 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            left(p_name, 4) AS name_left,
            CAST(strpos(p_name, ' ') AS BIGINT) AS space_pos,
            CAST(ascii(p_name) AS BIGINT) AS first_char,
-           CASE WHEN regexp_matches(p_name, '^[\x00-\x7f]*$')
-                 AND regexp_matches(p_type, '^[\x00-\x7f]*$')
+           -- \z, not $: Java's $ matches before a trailing line
+           -- terminator, RE2's does not (review r6)
+           CASE WHEN regexp_matches(p_name, '^[\x00-\x7f]*\z')
+                 AND regexp_matches(p_type, '^[\x00-\x7f]*\z')
                 THEN CAST(levenshtein(p_name, p_type) AS BIGINT)
            END AS name_type_dist
     FROM part
@@ -171,8 +177,8 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contract: edit distance for ASCII pairs, NULL otherwise (both
         # sides; verified divergence: levenshtein('中文ab','ab') = 2 vs 6)
         F.when(
-            F.col("p_name").rlike(r"^[\x00-\x7f]*$")
-            & F.col("p_type").rlike(r"^[\x00-\x7f]*$"),
+            F.col("p_name").rlike(r"^[\x00-\x7f]*\z")
+            & F.col("p_type").rlike(r"^[\x00-\x7f]*\z"),
             F.levenshtein(F.col("p_name"), F.col("p_type")),
         )
         .cast("long")
@@ -237,7 +243,7 @@ def scalar_trycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                map(['k'], [CASE WHEN json_valid(props)
                                  AND regexp_matches(json_extract_string(props, '$.k'),
-                                                    '^[+-]?\d+$')
+                                                    '^[+-]?\d+\z')
                                 THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                            END]) AS m
         FROM events
@@ -252,7 +258,7 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment)."""
     ev = load_table(spark, sf_dir, "events")
     s = F.get_json_object("props", "$.k")
-    k = F.when(s.rlike(r"^[+-]?\d+$"), s.cast("long"))
+    k = F.when(s.rlike(r"^[+-]?\d+\z"), s.cast("long"))
     m = F.create_map(F.lit("k"), k)
     return ev.select(
         "event_id",
@@ -270,7 +276,7 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN json_extract_string(props, '$.k') END AS k_str,
            CASE WHEN json_valid(props)
                  AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
-                                    '^[+-]?\d+$')
+                                    '^[+-]?\d+\z')
                 THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
            END AS k_int,
            CAST(length(props) AS BIGINT) AS props_len

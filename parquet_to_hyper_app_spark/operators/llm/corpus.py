@@ -541,7 +541,8 @@ _HASH60_SPAN = float(1 << 60)
                    / CAST(sum(n_docs) OVER () AS DOUBLE))) AS rate
         FROM counts
     )
-    SELECT d.doc_id, d.source, round(r.rate, 6) AS sample_rate,
+    SELECT d.doc_id, d.source,
+           CAST(CAST(r.rate AS DECIMAL(24,6)) AS DOUBLE) AS sample_rate,
            (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                / {_HASH60_SPAN!r}) < r.rate AS kept
     FROM documents d
@@ -589,7 +590,11 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.round(F.col("rate"), 6).alias("sample_rate"),
+            # DECIMAL(24,6) round-trip, not round(x, 6): the one
+            # 6-digit rounding primitive verified to follow the same
+            # shortest-repr half-up rule in both engines (review r6 —
+            # same contract as array_ops' l2_norm)
+            F.col("rate").cast("decimal(24,6)").cast("double").alias("sample_rate"),
             (u < F.col("rate")).alias("kept"),
         )
     )
@@ -725,6 +730,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
+    # NOTE: this tokenize→bigram→distinct→hash block (and the oracle's
+    # __sized CTE) mirrors the canonical copy inside
+    # dedup.ngram_jaccard_pairs / NGRAM_PAIRS_ORACLE_TMPL — including
+    # its hard-won shapes (rlike(\S) BEFORE the bigram projection;
+    # get() not [] for ANSI safety). It is duplicated rather than
+    # extracted this round because refactoring dedup.py re-drifts its
+    # ten driver-green keys (shared-helper freeze, verdict r5 item 2);
+    # any contract change must touch both copies, and the 7-seed ×
+    # 2-profile fuzz sweep reds whichever copy drifts. Extraction is
+    # queued for the next round dedup.py drifts anyway.
     grams = (
         docs.filter(F.col("text").rlike(r"\S"))
         .withColumn("__toks", toks)
@@ -764,8 +779,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the distinct/verify stages materialize it
         .filter((F.col("src") != F.col("dst")) & (F.col("nd") >= F.ceil(F.col("ns") * F.lit(_CONTAIN_T))))
         .select("src", "dst")
-        .distinct()
     )
+    # pair dedup at a PINNED partition width, not .distinct(): the
+    # candidate rows are tiny in bytes, and AQE's size-based coalescing
+    # would squeeze the downstream CPU-bound array_intersect verify
+    # onto a handful of cores — the same trap ngram_jaccard_pairs
+    # measured and engineered around (review r6)
+    try:
+        n_parts = int(cands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on AQE-auto deployments
+        n_parts = cands.sparkSession.sparkContext.defaultParallelism
+    cands = cands.repartition(n_parts, "src", "dst").dropDuplicates()
     a = grams.select(
         F.col("doc_id").alias("src"), F.col("hashes").alias("ha"), F.col("n").alias("na")
     )
@@ -773,7 +797,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain = (
         F.size(F.array_intersect("ha", "hb")).cast("double") / F.col("na")
     )
-    return (
+    out = (
         cands.join(a, "src")
         .join(b, "dst")
         .withColumn("containment", contain)
@@ -784,3 +808,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment",
         )
     )
+    # materialize the (small) pair set eagerly so the corpus-wide
+    # hash-array cache releases NOW instead of pinning executor
+    # storage for the session lifetime (same lifecycle as
+    # ngram_jaccard_pairs — review r6)
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out

@@ -137,6 +137,41 @@ def test_record_increments_deferred_for_skipped_hot_keys(tmp_path, monkeypatch):
     assert state["greens"][checked]["round"] == 6
 
 
+def test_record_charges_waivers_from_committed_check_order(tmp_path, monkeypatch):
+    """The waiver count must come from the COMMITTED check_priority.json
+    the driver ran against, not a fresh priority() at fold time: a spec
+    edited between the driver run and the fold would otherwise be
+    charged a deferral it never consumed (review r6)."""
+    import json as _json
+
+    import tools.greens as greens
+
+    ledger = tmp_path / "local_parity.json"
+    ledger.write_text("{}\n")
+    monkeypatch.setattr(greens, "LEDGER_PATH", str(ledger))
+    monkeypatch.setattr(greens, "STATE_PATH", str(tmp_path / "green_state.json"))
+
+    specs = load_all()
+    keys = sorted(specs)[:2]
+    was_hot, edited_after = keys
+    # the committed order says only `was_hot` was hot when the driver
+    # ran; `edited_after` drifted later (its stamp is bogus NOW, but it
+    # was green at emit time)
+    (tmp_path / "check_priority.json").write_text(
+        _json.dumps({"order": keys, "hot": {was_hot: "edited"}})
+    )
+    state = {
+        "greens": {
+            was_hot: {"round": 1, "fingerprint": "x", "failed": False},
+            edited_after: {"round": 1, "fingerprint": "x", "failed": False},
+        },
+        "force_recheck": [],
+    }
+    greens.record({k: specs[k] for k in keys}, state, {}, round_no=6)
+    assert state["greens"][was_hot]["deferred_rounds"] == 1
+    assert "deferred_rounds" not in state["greens"][edited_after]
+
+
 def test_record_clears_local_parity_ledger(tmp_path, monkeypatch):
     """Folding a driver round into green_state must CLEAR the local-
     parity ledger: the waiver lets a budget-overflow key defer its

@@ -143,7 +143,13 @@ def part_table(rng, n) -> pa.Table:
             "p_name": pa.array(
                 ["1.5", " 42 ", "+7", "99999999999"]
                 + ["pärt 中文 name 🎉", "\x0b42\t", "\u2028" + "42"]
-                + [f"part {WORDS[i % len(WORDS)]} {i}" for i in range(7, n)]
+                # rows 7-8: TRAILING U+2028 pins the \z anchors
+                # (review r6: Java's $ matches before a final line
+                # terminator, RE2's does not — an ASCII body with a
+                # trailing U+2028 must fail both the integer gate and
+                # the levenshtein ASCII gate on BOTH engines)
+                + ["42" + "\u2028", "ascii tail" + "\u2028"]
+                + [f"part {WORDS[i % len(WORDS)]} {i}" for i in range(9, n)]
             ),
             "p_brand": pa.array(brands),
             "p_type": pa.array([types[i % 6] for i in range(n)]),

@@ -269,8 +269,18 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
     # starvation ledger (verdict r5 item 3): a key that was hot going
     # into this round but got NO driver row consumed a waiver — count
     # it, so priority() hard-promotes it and the tripwire can refuse a
-    # second consecutive deferral that would fall outside the budget
-    _, hot = priority(specs, state)
+    # second consecutive deferral that would fall outside the budget.
+    # The hot set comes from the COMMITTED check_priority.json (what
+    # the driver actually ran against), not a fresh priority() call: a
+    # spec edited between the driver run and the fold would otherwise
+    # be charged a waiver it never consumed — and a genuinely starved
+    # key whose edit got reverted would escape counting (review r6).
+    prio_path = os.path.join(os.path.dirname(STATE_PATH), "check_priority.json")
+    if os.path.exists(prio_path):
+        with open(prio_path) as f:
+            hot = set(json.load(f)["hot"])
+    else:
+        _, hot = priority(specs, state)
     for key in hot:
         g = state["greens"].get(key)
         if g is not None and key not in rows:
