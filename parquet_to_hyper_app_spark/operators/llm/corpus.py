@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.crosshash import (
     HASH60_SPARK as _HASH60_SPARK,
+    NON_WS,
     WS,
 )
 from parquet_to_hyper_app_spark.operators.llm.dedup import (
@@ -814,4 +815,330 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ngram_jaccard_pairs — review r6)
     out = out.localCheckpoint(eager=True)
     grams.unpersist()
+    return out
+
+
+#: dedup_incremental: every doc_id ≡ 0 (mod 10) plays the incoming
+#: crawl batch; the rest is the already-curated base corpus. In
+#: production the two sides are separate tables — a deterministic
+#: modulus keeps the oracle trivially in sync (same device as
+#: _BENCH_MOD above).
+_INCR_MOD = 10
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH batch AS (
+        SELECT doc_id, source, sha256(text) AS content_hash,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % {_INCR_MOD} = 0
+    ),
+    base AS (
+        SELECT DISTINCT sha256(text) AS content_hash
+        FROM documents WHERE doc_id % {_INCR_MOD} <> 0 AND text IS NOT NULL
+    )
+    SELECT doc_id, source, content_hash,
+           CASE WHEN hit THEN 'dup_base'
+                WHEN rn > 1 THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           NOT (hit OR rn > 1) AS kept
+    FROM (
+        SELECT b.doc_id, b.source, b.content_hash, b.rn,
+               base.content_hash IS NOT NULL AS hit
+        FROM batch b LEFT JOIN base USING (content_hash)
+    )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-base) exact dedup — the continuous-crawl
+    shape: an incoming batch is deduped against the already-curated
+    base corpus AND within itself, and every batch doc gets a disposition
+    (``dup_base`` / ``dup_batch`` / ``new``) plus a ``kept`` flag.
+
+    Contract notes: content identity is sha256 of the raw text (same
+    identity as ``dedup_exact``); NULL-text docs never match the base
+    (NULL hash joins nothing on either engine) but DO dedup against
+    each other within the batch — the first by doc_id survives, the
+    same all-NULLs-in-one-window-partition rule both engines share.
+
+    Scale shape (the reason this is the steady-state design, not
+    re-running dedup_exact over base+batch): the base corpus — the
+    100 TB side — is reduced to its DISTINCT 32-byte hash projection
+    (map-side partial distinct, then one shuffle on uniform sha keys),
+    and the batch joins it with one more hash-partitioned exchange; the
+    full base text is never rescanned or reshuffled. In production the
+    hash projection is a maintained bucketed index table, making the
+    probe exchange-free on the base side; Spark's runtime bloom-filter
+    injection covers the same pattern automatically when the batch is
+    selective. The within-batch window shuffles only the (small) batch.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    batch = (
+        docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+        .select("doc_id", "source", h.alias("content_hash"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")),
+        )
+    )
+    base = (
+        docs.filter((F.col("doc_id") % _INCR_MOD != 0) & F.col("text").isNotNull())
+        .select(h.alias("content_hash"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    hit = F.coalesce(F.col("__hit"), F.lit(False))
+    return batch.join(base, "content_hash", "left").select(
+        "doc_id",
+        "source",
+        "content_hash",
+        F.when(hit, F.lit("dup_base"))
+        .when(F.col("rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        (~(hit | (F.col("rn") > 1))).alias("kept"),
+    )
+
+
+#: Gopher-style heuristic quality rules (Rae et al. 2021, appendix A —
+#: public paper), re-banded so both branches of every live rule are
+#: exercised by the ~10–100-token synthetic corpus: word-count band,
+#: mean-word-length band, minimum alphabetic-word ratio, maximum
+#: bullet-start / ellipsis-end line ratios, and a minimum hit count
+#: against the required-word list.
+_GOPHER_MIN_WORDS = 25
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_WLEN = 3.0
+_GOPHER_MAX_MEAN_WLEN = 10.0
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MAX_BULLET_RATIO = 0.9
+_GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+_GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_REQUIRED_HITS = 1
+_REQ_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED) + "]"
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
+                           x -> x <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           l -> regexp_matches(l, '{NON_WS}')) AS lines
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / len(toks) END AS alpha_word_ratio,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(list_filter(lines,
+                         l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+                     / len(lines) END AS bullet_line_ratio,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(list_filter(lines,
+                         l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE)
+                     / len(lines) END AS ellipsis_line_ratio,
+           CAST(len(list_intersect(toks, {_REQ_SQL})) AS BIGINT) AS n_required_hits,
+           coalesce(
+               len(toks) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                   BETWEEN {_GOPHER_MIN_MEAN_WLEN} AND {_GOPHER_MAX_MEAN_WLEN}
+               AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / len(toks) >= {_GOPHER_MIN_ALPHA_RATIO}
+               AND coalesce(CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines,
+                             l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+                         / len(lines) END <= {_GOPHER_MAX_BULLET_RATIO}, TRUE)
+               AND coalesce(CASE WHEN len(lines) > 0
+                    THEN CAST(len(list_filter(lines,
+                             l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS DOUBLE)
+                         / len(lines) END <= {_GOPHER_MAX_ELLIPSIS_RATIO}, TRUE)
+               AND len(list_intersect(toks, {_REQ_SQL})) >= {_GOPHER_MIN_REQUIRED_HITS},
+               FALSE) AS passes_gopher
+    FROM t
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality filter (Rae et al. 2021 appendix
+    A1 — the standard rule battery between raw crawl and model-based
+    scoring): word-count band, mean-word-length band, alphabetic-word
+    ratio floor, bullet-start / ellipsis-end line-ratio ceilings, and
+    required-word ("stop word presence") hits, plus the combined
+    ``passes_gopher`` verdict. Complements ``text_quality`` (char-level
+    punct/digit ratios) with the word- and line-level rule set.
+
+    Contract: NULL text scores as the empty document; a doc with no
+    words fails the word-count band (never NULL-passes); line-level
+    rules vacuously pass when the doc has no non-blank lines; the
+    verdict is coalesced to FALSE so the output is total. Whitespace is
+    the shared three-engine WS class, blank-line detection uses NON_WS
+    (never ``\\s`` — engine dialects differ, crosshash.py).
+
+    Scale shape: pure per-row JVM expressions — no shuffle, no UDF, no
+    explode; whole-stage codegen end to end, trivially parallel at any
+    corpus size. This is deliberately the cheap pre-filter that runs
+    BEFORE anything that shuffles (dedup, tokenize): at 100 TB the
+    narrow-filter-first composition is what pipeline_training_corpus
+    demonstrates end-to-end.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    df = docs.withColumn("__toks", tokens(F.lower(F.col("text")))).withColumn(
+        "__lines", F.filter(F.split("text", "\n"), lambda l: l.rlike(NON_WS))
+    )
+    n_words = F.size("__toks")
+    n_lines = F.size("__lines")
+    sum_wlen = F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words)
+    alpha_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter("__toks", lambda t: t.rlike("[a-z]"))).cast("double") / n_words,
+    )
+    is_bullet = lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•")  # noqa: E731
+    is_ellipsis = lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…")  # noqa: E731
+    bullet_ratio = F.when(
+        n_lines > 0, F.size(F.filter("__lines", is_bullet)).cast("double") / n_lines
+    )
+    ellipsis_ratio = F.when(
+        n_lines > 0, F.size(F.filter("__lines", is_ellipsis)).cast("double") / n_lines
+    )
+    req_hits = F.size(
+        F.array_intersect("__toks", F.array(*[F.lit(w) for w in _GOPHER_REQUIRED]))
+    )
+    passes = F.coalesce(
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mean_wlen.between(_GOPHER_MIN_MEAN_WLEN, _GOPHER_MAX_MEAN_WLEN)
+        & (alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO)
+        & F.coalesce(bullet_ratio <= _GOPHER_MAX_BULLET_RATIO, F.lit(True))
+        & F.coalesce(ellipsis_ratio <= _GOPHER_MAX_ELLIPSIS_RATIO, F.lit(True))
+        & (req_hits >= _GOPHER_MIN_REQUIRED_HITS),
+        F.lit(False),
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        req_hits.cast("long").alias("n_required_hits"),
+        passes.alias("passes_gopher"),
+    )
+
+
+#: dedup_substring span order: long enough that a shared token window
+#: implies copied text rather than idiom (suffix-style dedup uses
+#: 50-token spans at production scale; 8 keeps the check meaningful on
+#: the ~10–100-token synthetic docs), and the flag threshold marks a
+#: doc whose content is mostly duplicated spans.
+_SPAN_N = 8
+_SPAN_DUP_T = 0.5
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                  toks[i+4], toks[i+5], toks[i+6], toks[i+7])
+               )) AS grams
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    dup AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 1),
+    pd AS (
+        SELECT doc_id, count(*) AS n_dup
+        FROM e JOIN dup USING (gram)
+        GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN len(grams) > 0
+                THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE) / len(grams)
+           END AS dup_gram_ratio,
+           coalesce(CASE WHEN len(grams) > 0
+                         THEN CAST(coalesce(pd.n_dup, 0) AS DOUBLE) / len(grams)
+                    END >= {_SPAN_DUP_T}, FALSE) AS flagged
+    FROM g LEFT JOIN pd USING (doc_id)
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection — the corpus-level
+    "substring dedup" stage (RefinedWeb / Gopher toolbox): for every
+    doc, what fraction of its distinct {_SPAN_N}-token windows also
+    appears in ANOTHER document (or twice in this one — per-doc windows
+    are deduped first, so any count > 1 crosses documents), and a flag
+    for docs that are mostly duplicated spans. Complements
+    ``doc_repetition`` (WITHIN-doc repetition) and ``dedup_ngram_jaccard``
+    (whole-doc near-dup pairs): this one localizes shared boilerplate.
+
+    Contract: NULL/blank text yields n_grams = 0, NULL ratio, flagged
+    FALSE (total output, one row per doc). Spans are compared as
+    xxhash64 of the space-joined window (the oracle joins the strings
+    themselves, so a 64-bit collision would surface as a hash mismatch
+    — the standing cross-engine device from contamination_ngram).
+
+    Scale shape: per-doc distinct gram hashes (narrow), one shuffle on
+    the uniform 64-bit gram key for the global count (map-side partial
+    combine, and per-doc array_distinct bounds any doc's contribution
+    to a hot boilerplate gram at 1, so a gram's count ≤ n_docs and the
+    hot-key reduce is additive longs — AQE skew split covers the rest),
+    a semi-join back on the same key, then a per-doc rollup. Candidate
+    volume is corpus token count, never pairs. This is the hashed
+    approximation of suffix-array substring dedup — the honest
+    distributed design; exact suffix arrays don't shard.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    g = (
+        docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .select("doc_id", _ngram_hashes("__toks", _SPAN_N).alias("grams"))
+        .persist()
+    )
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    dup = e.groupBy("gram").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    per_doc = (
+        e.join(dup.select("gram"), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_dup"))
+    )
+    n_grams = F.size("grams")
+    n_dup = F.coalesce(F.col("__n_dup"), F.lit(0))
+    ratio = F.when(n_grams > 0, n_dup.cast("double") / n_grams)
+    out = (
+        g.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            n_dup.cast("long").alias("n_dup_grams"),
+            ratio.alias("dup_gram_ratio"),
+            F.coalesce(ratio >= _SPAN_DUP_T, F.lit(False)).alias("flagged"),
+        )
+    )
+    # one row per doc: checkpoint eagerly so the gram cache releases
+    # now (same lifecycle as contamination_ngram)
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
     return out

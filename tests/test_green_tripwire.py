@@ -196,3 +196,23 @@ def test_record_clears_local_parity_ledger(tmp_path, monkeypatch):
     )
     assert json.loads(ledger.read_text()) == {}
     assert state["greens"][key]["failed"] is False
+
+
+def test_starved_keys_outrank_never_checked():
+    """A key whose waiver was consumed in a prior round outranks even a
+    brand-new key's first check: the tripwire forbids second deferrals,
+    while a new key may defer its FIRST driver row on a local waiver
+    (review r6 — registering new operators in a heavy-drift round must
+    not push once-deferred keys out of the budget)."""
+    specs = load_all()
+    keys = sorted(specs)[:3]
+    new, starved, fresh = keys
+    state = {
+        "greens": {
+            starved: {"round": 2, "fingerprint": "x", "failed": False, "deferred_rounds": 1},
+            fresh: {"round": 1, "fingerprint": "x", "failed": False},
+        },
+        "force_recheck": [],
+    }
+    ordered, _ = priority({k: specs[k] for k in keys}, state)
+    assert ordered == [starved, new, fresh], ordered

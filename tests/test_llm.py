@@ -657,3 +657,84 @@ def test_exact_pairs_block_slab_equivalence():
         slabbed += _exact_pairs_block(ids[s : s + 2], mat[s : s + 2], ids, mat, upper=True)
     assert sorted(slabbed) == whole
     assert len(whole) == 10  # C(5,2) identical pairs; zero-vec pairs dropped
+
+
+def test_dedup_incremental_statuses(spark, tmp_path):
+    """Every disposition branch: a batch doc duplicating base text is
+    dup_base, the second of a batch-internal pair is dup_batch, unique
+    batch text is new — and base docs never appear in the output."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import dedup_incremental
+
+    rows = [
+        (1, "shared base body", "en", "s", 1),  # base
+        (3, "other base text", "en", "s", 1),  # base
+        (10, "shared base body", "en", "s", 1),  # batch: dup of base
+        (20, "batch pair body", "en", "s", 1),  # batch: first of pair
+        (30, "batch pair body", "en", "s", 1),  # batch: second of pair
+        (40, "fresh batch text", "en", "s", 1),  # batch: unique
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: (r.status, r.kept) for r in dedup_incremental(spark, str(tmp_path)).collect()}
+    assert out == {
+        10: ("dup_base", False),
+        20: ("new", True),
+        30: ("dup_batch", False),
+        40: ("new", True),
+    }
+
+
+def test_gopher_rules_planted(spark, tmp_path):
+    """Each live rule flips the verdict on a doc crafted to fail only
+    it: word-count band, required-word hits, all-bullet lines, mostly-
+    ellipsis lines; a long plain doc containing a required word passes."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import quality_gopher_rules
+
+    good = "the " + " ".join(f"word{i}" for i in range(30))
+    short = "the tiny doc"
+    no_req = " ".join(f"word{i}" for i in range(30))
+    bullets = "\n".join("- the " + " ".join(f"b{i}w{j}" for j in range(10)) for i in range(3))
+    dots = "\n".join("the " + " ".join(f"e{i}w{j}" for j in range(10)) + " ..." for i in range(3))
+    rows = [
+        (1, good, "en", "s", 1),
+        (2, short, "en", "s", 1),
+        (3, no_req, "en", "s", 1),
+        (4, bullets, "en", "s", 1),
+        (5, dots, "en", "s", 1),
+        (6, None, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in quality_gopher_rules(spark, str(tmp_path)).collect()}
+    assert out[1].passes_gopher and out[1].n_required_hits == 1
+    assert not out[2].passes_gopher and out[2].n_words == 3
+    assert not out[3].passes_gopher and out[3].n_required_hits == 0
+    assert not out[4].passes_gopher and out[4].bullet_line_ratio == 1.0
+    assert not out[5].passes_gopher and out[5].ellipsis_line_ratio == 1.0
+    # NULL text = empty doc: total output, fails word band, never NULL
+    assert out[6].n_words == 0 and out[6].passes_gopher is False
+
+
+def test_dedup_substring_flags_shared_span(spark, tmp_path):
+    """Two docs sharing a long token window are both flagged (their
+    grams are mostly shared); a distinct doc has zero dup grams; a
+    short doc (< span order) yields n_grams = 0, NULL ratio, unflagged."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import dedup_substring
+
+    span = " ".join(f"s{i}" for i in range(10))  # 10 tokens → 3 8-gram windows
+    rows = [
+        (1, span, "en", "s", 1),
+        (2, span, "en", "s", 1),
+        (3, " ".join(f"u{i}" for i in range(10)), "en", "s", 1),
+        (4, "too short", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in dedup_substring(spark, str(tmp_path)).collect()}
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 3 and out[1].flagged
+    assert out[2].flagged and out[2].dup_gram_ratio == 1.0
+    assert out[3].n_dup_grams == 0 and not out[3].flagged
+    assert out[4].n_grams == 0 and out[4].dup_gram_ratio is None and not out[4].flagged

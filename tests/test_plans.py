@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import pytest
 
-from parquet_to_hyper_app_spark.plans.inspect import plan_stats, read_schema_columns
+from parquet_to_hyper_app_spark.plans.inspect import (
+    physical_plan,
+    plan_stats,
+    read_schema_columns,
+)
 from parquet_to_hyper_app_spark.registry import load_all
 from tests.conftest import SF_SMOKE
 
@@ -238,3 +242,31 @@ def test_sample_temperature_corpus_side_is_narrow(spark):
     assert s.broadcast_joins == 1, s
     assert s.nested_loop_joins == 0, s
     assert s.shuffles == 2, s  # per-source agg + window total, both tiny
+
+
+def test_gopher_rules_plan_is_narrow(spark):
+    """quality_gopher_rules is the cheap pre-filter that must run
+    BEFORE anything wide: pure per-row expressions — zero exchanges,
+    zero joins, no Python, and the scan reads only doc_id + text."""
+    df = load_all()["quality_gopher_rules"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.shuffles == 0, s
+    assert s.broadcast_joins == 0 and s.sortmerge_joins == 0 and s.nested_loop_joins == 0, s
+    assert "Python" not in physical_plan(df)
+    assert set(read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_dedup_incremental_plan_reduces_base_to_hashes(spark):
+    """The base corpus — the 100 TB side — must reach the join as its
+    DISTINCT hash projection (partial agg before the exchange), never
+    as text: the base-side scan reads only the columns the hash needs,
+    and no nested loop appears anywhere."""
+    df = load_all()["dedup_incremental"].fn(spark, SF_SMOKE)
+    df.foreachPartition(lambda _it: None)
+    s = plan_stats(df)
+    assert s.nested_loop_joins == 0, s
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    # partial-then-final distinct on the hash: two HashAggregate nodes
+    # keyed on content_hash around the exchange
+    assert plan.count("HashAggregate(keys=[content_hash") >= 2, plan

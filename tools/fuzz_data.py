@@ -298,6 +298,12 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
     texts[5] = texts[6] = texts[7] = "exact duplicate body of text here"  # exact dups
     texts[8] = "near duplicate body of text here"  # near-dup of the trio
     texts[9] = " ".join(WORDS) * 40  # very long doc
+    # incremental-dedup branch plants (doc_id = index+1; the batch side
+    # is doc_id ≡ 0 mod 10, i.e. indices 9, 19, 29, ...): a batch doc
+    # duplicating the base trio → 'dup_base', and a batch-internal pair
+    # → first 'new', second 'dup_batch'
+    texts[19] = texts[5]
+    texts[29] = texts[39] = "batch internal duplicate text body"
     if dirty:
         # regex-dialect divergence characters (the WS contract,
         # crosshash.WS): vertical tab splits under Java \s but not RE2

@@ -254,7 +254,18 @@ def priority(specs: dict[str, QuerySpec], state: dict) -> tuple[list[str], dict[
     )
     tiers["failed"].sort()
     tiers["rotate"].sort(key=lambda k: (greens[k]["round"], k))
-    ordered = tiers["never"] + tiers["drift"] + tiers["failed"] + tiers["rotate"]
+    # starved keys (waiver already consumed in a prior round) outrank
+    # even the never-checked tier: the tripwire forbids a second
+    # consecutive deferral, while a NEW key deferring its FIRST driver
+    # row one round is the least-harm overflow (it has a local sf0.01
+    # hash-green ledger entry like any other waivered key, and has
+    # never been claimed driver-proven). Without this, registering a
+    # handful of new operators in a heavy-drift round pushes
+    # once-deferred keys out of the 50-slot budget — starvation by
+    # addition instead of by alphabet.
+    starved = [k for k in tiers["drift"] if greens[k].get("deferred_rounds", 0) >= 1]
+    drift_rest = [k for k in tiers["drift"] if k not in starved]
+    ordered = starved + tiers["never"] + drift_rest + tiers["failed"] + tiers["rotate"]
     return ordered, reason
 
 
