@@ -286,15 +286,16 @@ def _km_iteration_sql(r: int) -> str:
     )"""
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB replica of the FULL IVF-KMeans pipeline: ordered-sample
-    Lloyd's training (_KM_ITERS unrolled iterations), full-corpus
-    assignment, own-centroid probe, exact-cosine top-k, recall audit,
-    floor gate. Composes `ann_audit_gate_sql()` like similarity_ivf."""
+def _km_assign_ctes() -> str:
+    """The shared DuckDB prefix replaying `lloyd_train` + full-corpus
+    assignment: ordered-sample init, _KM_ITERS unrolled iterations,
+    then nearest-centroid assignment of every valid vector into
+    ``__assign(vec_id, e, cid)``. Composed by `_kmeans_oracle()` and
+    `dedup_semantic`'s oracle so training/assignment arithmetic can
+    never drift between the two."""
     iterations = ",\n    ".join(_km_iteration_sql(r + 1) for r in range(_KM_ITERS))
     last = f"__c{_KM_ITERS}"
-    return f"""
-    WITH __p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+    return f"""__p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
@@ -315,7 +316,44 @@ def _kmeans_oracle() -> str:
                                 c.cid) AS rn
             FROM __v v CROSS JOIN {last} c, __p
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _assign_expr(cents: list[list[float]]) -> str:
+    """Spark SQL expression assigning a double-array column ``e`` to
+    its nearest literal centroid: sequential (x−c)² fold per centroid,
+    tie → the earliest (smallest) centroid id via the strict-< running
+    min. The `acc.j = -1` seed makes the first centroid always replace
+    the Infinity init: without it a vector whose every distance is NaN
+    (or +Inf) keeps centroid_id -1 while the oracle's row_number
+    assigns cid 0 — Spark's `<` is total-order with NaN greatest
+    (verified: NaN < Inf is false, Inf < NaN is true), identical to
+    DuckDB's sort, so after seeding the two engines agree on every
+    mixed real/Inf/NaN distance profile. SHARED by
+    `similarity_kmeans_ivf` and `dedup_semantic`."""
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(_sql_double(x) for x in c) + ")" for c in cents
+    ) + ")"
+    return f"""
+    aggregate(
+      zip_with({cents_sql}, sequence(0, {len(cents) - 1}),
+               (c, j) -> named_struct(
+                   'd', aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),
+                                  0D, (a, x) -> a + x),
+                   'j', j)),
+      named_struct('d', CAST('Infinity' AS DOUBLE), 'j', -1),
+      (acc, s) -> CASE WHEN s.d < acc.d OR acc.j = -1 THEN s ELSE acc END
+    ).j
+    """
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replica of the FULL IVF-KMeans pipeline: ordered-sample
+    Lloyd's training (_KM_ITERS unrolled iterations), full-corpus
+    assignment, own-centroid probe, exact-cosine top-k, recall audit,
+    floor gate. Composes `ann_audit_gate_sql()` like similarity_ivf."""
+    return f"""
+    WITH {_km_assign_ctes()},
     __scored AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
@@ -372,30 +410,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, "
             "rank BIGINT, recall_at_k DOUBLE",
         )
-    cents_sql = "array(" + ", ".join(
-        "array(" + ", ".join(_sql_double(x) for x in c) + ")" for c in cents
-    ) + ")"
-    # nearest centroid, sequential (x−c)² fold per centroid, tie → the
-    # earliest (smallest) centroid id via the strict-< running min.
-    # The `acc.j = -1` seed makes the first centroid always replace the
-    # Infinity init: without it a vector whose every distance is NaN
-    # (or +Inf) keeps centroid_id -1 while the oracle's row_number
-    # assigns cid 0 — Spark's `<` is total-order with NaN greatest
-    # (verified: NaN < Inf is false, Inf < NaN is true), identical to
-    # DuckDB's sort, so after seeding the two engines agree on every
-    # mixed real/Inf/NaN distance profile.
-    assign_expr = f"""
-    aggregate(
-      zip_with({cents_sql}, sequence(0, {len(cents) - 1}),
-               (c, j) -> named_struct(
-                   'd', aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),
-                                  0D, (a, x) -> a + x),
-                   'j', j)),
-      named_struct('d', CAST('Infinity' AS DOUBLE), 'j', -1),
-      (acc, s) -> CASE WHEN s.d < acc.d OR acc.j = -1 THEN s ELSE acc END
-    ).j
-    """
-    assigned = v.withColumn("centroid_id", F.expr(assign_expr))
+    assigned = v.withColumn("centroid_id", F.expr(_assign_expr(cents)))
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("ea"), "centroid_id"
     )
@@ -483,3 +498,98 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
     )
+
+
+#: SemDeDup cosine threshold — deliberately the same constant as the
+#: dedup_embedding family (the synthetic vectors are near-random, so
+#: 0.4 is the regime where pairs exist at test scale) and the same
+#: bitwise contract: BLAS prefilter at (T − 1e-6), sequential-fold
+#: exact verify at T (`_exact_pairs_block`, dedup.py).
+_SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH {_km_assign_ctes()},
+    __pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM __assign a JOIN __assign b USING (cid)
+        WHERE a.vec_id < b.vec_id
+          AND list_sum(list_transform(range(1, len(a.e) + 1),
+                       i -> a.e[i] * b.e[i]))
+              / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+              >= {_SEMDEDUP_T}
+    ),
+    __drops AS (SELECT DISTINCT vb AS vec_id FROM __pairs)
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS cluster_id,
+           d.vec_id IS NULL AS kept
+    FROM __assign a LEFT JOIN __drops d USING (vec_id)
+    """
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic dedup via
+    KMeans clustering + within-cluster cosine — a vector is dropped iff
+    a SMALLER-id vector in ITS OWN cluster sits at cos ≥ {t}. One row
+    per valid vector (the NULL/empty-embedding contract matches the
+    similarity surface: undefined vectors are out of scope) with its
+    cluster id and survivor flag.
+
+    Composition of two proven bitwise contracts: the quantizer is
+    `lloyd_train` + `_assign_expr` (similarity_kmeans_ivf's exact
+    cross-engine Lloyd's), the within-cluster verify is
+    `_exact_pairs_block` (dedup_embedding's BLAS-prefilter +
+    sequential-fold exact threshold cut).
+
+    Scale shape: training fits on one node by construction (bounded
+    ordered sample); assignment is a narrow JVM map against literal
+    centroids (no shuffle, no Python); the only wide op is ONE shuffle
+    on cluster_id, and the within-cluster sweep is per-cluster BLAS in
+    applyInPandas — pairs never shuffle, only the (small) drop set
+    does. In production SemDeDup k grows ∝ n so expected cluster size
+    stays bounded (n/k ≈ const); a degenerate all-identical-embedding
+    cluster is the same bounded-slab regime dedup_embedding documents:
+    the drop-set OUTPUT is linear in the cluster even when the in-slab
+    comparison is quadratic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
+
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    sample = [
+        (r.vec_id, list(r.e)) for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
+    ]
+    cents = lloyd_train(sample)
+    if not cents:  # empty embeddings table: typed empty result, no crash
+        return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
+    assigned = v.withColumn("cluster_id", F.expr(_assign_expr(cents)).cast("long"))
+
+    def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["e"].to_numpy()).astype("float64")
+        rows = _exact_pairs_block(ids, m, ids, m, upper=True)
+        # _exact_pairs_block emits (min_id, max_id, cos): the larger id
+        # of every qualifying pair is exactly "has a smaller-id near
+        # neighbor in its cluster" — the drop rule
+        drop = sorted({b for _a, b, _cos in rows})
+        return pd.DataFrame({"vec_id": pd.array(drop, dtype="int64")})
+
+    drops = (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(cluster_drops, "vec_id long")
+        .withColumn("__d", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id", "cluster_id", F.col("__d").isNull().alias("kept")
+    )
+
+
+dedup_semantic.__doc__ = dedup_semantic.__doc__.format(t=_SEMDEDUP_T)

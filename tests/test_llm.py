@@ -738,3 +738,27 @@ def test_dedup_substring_flags_shared_span(spark, tmp_path):
     assert out[2].flagged and out[2].dup_gram_ratio == 1.0
     assert out[3].n_dup_grams == 0 and not out[3].flagged
     assert out[4].n_grams == 0 and out[4].dup_gram_ratio is None and not out[4].flagged
+
+
+def test_dedup_semantic_drops_smaller_id_neighbor(spark, tmp_path):
+    """An exact-duplicate vector pair lands in one cluster: the larger
+    id is dropped, the smaller kept; an isolated vector survives; and
+    undefined vectors (NULL/empty) are out of scope entirely."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.features import dedup_semantic
+
+    rng = np.random.default_rng(3)
+    base = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(6)]
+    rows = [(i, base[i], i) for i in range(6)]
+    rows.append((6, base[2], 6))  # exact dup of vec 2 → dropped
+    rows.append((7, None, 7))  # undefined: excluded
+    rows.append((8, [], 8))  # undefined: excluded
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(7))
+    assert out[2].kept and not out[6].kept
+    assert out[6].cluster_id == out[2].cluster_id
+    assert all(out[i].kept for i in (0, 1, 3, 4, 5))
