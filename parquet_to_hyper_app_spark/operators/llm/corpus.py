@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.crosshash import (
+    HASH60_DUCK,
     HASH60_SPARK as _HASH60_SPARK,
     NON_WS,
     WS,
@@ -1142,3 +1143,96 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     g.unpersist()
     return out
+
+
+#: winnowing parameters (Schleimer et al. 2003, public paper): k-token
+#: grams hashed positionally, then the min hash of every w-gram window
+#: is selected — guaranteeing any shared run of >= k + w - 1 tokens
+#: shares a fingerprint, while storing ~2/(w+1) of the grams. k=5/w=4
+#: keep the guarantee span (8 tokens) meaningful on the ~10-100-token
+#: synthetic docs.
+_WIN_K = 5
+_WIN_W = 4
+_WIN_DUCK_TERMS = ", ".join(f"toks[i+{j}]" for j in range(_WIN_K))
+_WIN_DUCK_HASH = HASH60_DUCK.format(col=f"concat_ws(' ', {_WIN_DUCK_TERMS})")
+
+
+@query(
+    "text_winnowing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_WIN_K}
+                    THEN list_transform(generate_series(1, len(toks) - {_WIN_K - 1}),
+                                        i -> {_WIN_DUCK_HASH})
+                    ELSE CAST([] AS BIGINT[]) END AS grams
+        FROM t
+    ),
+    sel AS (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= {_WIN_W}
+                    THEN list_distinct(list_transform(
+                        generate_series(1, len(grams) - {_WIN_W - 1}),
+                        p -> list_min(grams[p : p + {_WIN_W - 1}])))
+                    WHEN len(grams) > 0 THEN [list_min(grams)]
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    document-fingerprinting scheme): positional {k}-token gram hashes,
+    then the minimum hash of every {w}-gram sliding window, distinct
+    per doc. Guarantee: any two docs sharing a token run of length
+    >= k + w - 1 share at least one fingerprint, at ~2/(w+1) storage —
+    the local-edit-robust complement to ``text_fingerprint``'s
+    whole-doc hash. Docs shorter than one window keep min-of-all-grams
+    (one fingerprint); docs with no full gram emit no rows.
+
+    Fingerprints are the cross-engine 60-bit md5 values
+    (crosshash.HASH60_*), so the VALUES themselves are oracle-checked,
+    not just counts. Scale shape: entirely per-row array expressions —
+    gram hashing, window minima, and dedup all happen inside one narrow
+    projection; the explode emits ~2·tokens/(w+1) rows per doc and no
+    shuffle exists anywhere. Overlap mining on the output is one
+    equi-join on fp — the same bounded-candidate shape as
+    contamination_ngram, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    terms = ", ".join(f"__toks[i+{j}-1]" if j else "__toks[i-1]" for j in range(_WIN_K))
+    gram_hash = _HASH60_SPARK.format(col=f"concat_ws(' ', {terms})")
+    grams = F.when(
+        F.size("__toks") >= _WIN_K,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {_WIN_K - 1}), i -> {gram_hash})"
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    m = F.size("__grams")
+    fps = (
+        F.when(
+            m >= _WIN_W,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(__grams) - {_WIN_W - 1}),"
+                    f" p -> array_min(slice(__grams, p, {_WIN_W})))"
+                )
+            ),
+        )
+        .when(m > 0, F.array(F.array_min("__grams")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return (
+        docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .withColumn("__grams", grams)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )

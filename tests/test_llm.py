@@ -762,3 +762,29 @@ def test_dedup_semantic_drops_smaller_id_neighbor(spark, tmp_path):
     assert out[2].kept and not out[6].kept
     assert out[6].cluster_id == out[2].cluster_id
     assert all(out[i].kept for i in (0, 1, 3, 4, 5))
+
+
+def test_winnowing_guarantee_and_edges(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a >= k+w-1 = 8-token
+    run share at least one fingerprint; a sub-window doc emits exactly
+    one (min-of-all-grams); a doc below the gram order emits nothing."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import text_winnowing
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, "left prefix " + shared, "en", "s", 1),
+        (2, shared + " right suffix tail", "en", "s", 1),
+        (3, " ".join(f"u{i}" for i in range(6)), "en", "s", 1),  # 2 grams < w
+        (4, "below gram order", "en", "s", 1),  # 3 tokens < k
+        (5, None, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = text_winnowing(spark, str(tmp_path)).collect()
+    fps: dict[int, set] = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert len(fps[3]) == 1
+    assert 4 not in fps and 5 not in fps
