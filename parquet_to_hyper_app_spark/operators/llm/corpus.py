@@ -309,10 +309,9 @@ def quality_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_cross_entropy",
-    oracle=f"""
-    WITH tok AS (
+#: the cross-entropy per-doc scoring CTE chain, shared verbatim by the
+#: text_cross_entropy oracle and the text_perplexity_bucket oracle
+_CE_CTES = f"""tok AS (
         SELECT doc_id, unnest(list_filter(
                    regexp_split_to_array(lower(trim(text)), '{WS}+'),
                    t -> t <> '')) AS token
@@ -326,7 +325,13 @@ def quality_rollup_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(round(-log2(CAST(tf AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS bits
         FROM tok JOIN freq USING (token), tot
-    )
+    )"""
+
+
+@query(
+    "text_cross_entropy",
+    oracle=f"""
+    WITH {_CE_CTES}
     SELECT doc_id,
            count(*) AS n_tokens,
            CAST(sum(bits) AS DOUBLE) AS total_bits,
@@ -1235,4 +1240,75 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
         .withColumn("__grams", grams)
         .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+
+
+@query(
+    "text_perplexity_bucket",
+    oracle=f"""
+    WITH {_CE_CTES},
+    ce AS (
+        SELECT doc_id,
+               CAST(sum(bits) AS DOUBLE) / count(*) AS bits_per_token
+        FROM scored GROUP BY doc_id
+    ),
+    r AS (
+        SELECT d.doc_id, d.lang, ce.bits_per_token,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY ce.bits_per_token, d.doc_id) AS rn,
+               count(*) OVER (PARTITION BY d.lang) AS cnt
+        FROM ce JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, bits_per_token,
+           CAST((rn - 1) * 3 // cnt + 1 AS BIGINT) AS bucket,
+           CASE (rn - 1) * 3 // cnt + 1
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM r
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, public
+    paper): per language, rank documents by unigram-LM bits-per-token
+    (composing `text_cross_entropy`'s scorer) and split them into
+    head / middle / tail terciles — the standard pre-filter that keeps
+    'head' (most-fluent) text and drops or downweights 'tail'.
+
+    Bucket rule is PURE INTEGER arithmetic — (rn−1)·3 div cnt + 1 over
+    a fully-ordered (bits_per_token, doc_id) ranking — so the tercile
+    boundary can never float-diverge between engines; it reproduces
+    ntile(3)'s distribution exactly. Docs with no tokens have no LM
+    score and are out of scope (same as the scorer); a NULL lang forms
+    its own partition (both engines).
+
+    Scale: the scorer is the text_cross_entropy shape (vocab-bounded);
+    the bucketing adds ONE shuffle on lang. A per-lang window implies a
+    per-lang sort — fine while languages are plentiful; for one
+    dominant language at 100 TB the drop-in replacement is a two-pass
+    percentile-cut assignment (aggregate approximate cuts, broadcast,
+    compare), trading the global sort for a scan — the rule here is
+    kept exact because the oracle must replay it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ce = text_cross_entropy(spark, sf_dir).select("doc_id", "bits_per_token")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ce.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    wall = Window.partitionBy("lang")
+    r = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wall)
+    )
+    bucket = F.expr("(rn - 1) * 3 div cnt + 1")
+    return r.select(
+        "doc_id",
+        "lang",
+        "bits_per_token",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )

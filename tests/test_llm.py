@@ -788,3 +788,29 @@ def test_winnowing_guarantee_and_edges(spark, tmp_path):
     assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
     assert len(fps[3]) == 1
     assert 4 not in fps and 5 not in fps
+
+
+def test_perplexity_bucket_terciles(spark, tmp_path):
+    """Six scored docs in one language split exactly 2/2/2 into
+    head/middle/tail ordered by bits_per_token; a no-token doc is out
+    of scope (no LM score)."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import text_perplexity_bucket
+
+    # 'common' appears often (low surprisal); rare words push bpt up
+    rows = [
+        (1, "common common common common", "en", "s", 1),
+        (2, "common common common rare1", "en", "s", 1),
+        (3, "common common rare2 rare3", "en", "s", 1),
+        (4, "common rare4 rare5 rare6", "en", "s", 1),
+        (5, "rare7 rare8 rare9 rareA", "en", "s", 1),
+        (6, "rareB rareC rareD rareE", "en", "s", 1),
+        (7, "   ", "en", "s", 1),  # no tokens → unscored
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text_perplexity_bucket(spark, str(tmp_path)).collect()}
+    assert 7 not in out and len(out) == 6
+    labels = [out[i].ppl_bucket for i in (1, 2, 3, 4, 5, 6)]
+    assert labels == ["head", "head", "middle", "middle", "tail", "tail"], labels
+    assert out[1].bits_per_token < out[6].bits_per_token

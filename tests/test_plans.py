@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "similarity_kmeans_ivf",
     "timeseries_gapfill",  # 1-row global-bounds broadcast onto the user list
     "text_cross_entropy",  # 1-row corpus-total broadcast onto the vocab table
+    "text_perplexity_bucket",  # composes text_cross_entropy: same benign BNLJ
     "agg_histogram",  # 1-row global min/max broadcast onto the scan
     "text_vocab_coverage",  # 3-row size list x 1-row vocab bounds
     "stream_dedup_watermark",  # key set x per-key min join, both bounded

@@ -59,6 +59,15 @@ PROBE_KEYS = [
     "join_multiway",
     "events_funnel",
     "text_ngram_lm",
+    # round-6 additions: the new curation surface. dedup_semantic runs
+    # with the FIXED test k=16 while production SemDeDup grows k ∝ n —
+    # its probe curve therefore measures the fixed-k worst case (cluster
+    # population grows K×, the in-cluster sweep quadratically) and is
+    # read against that caveat in docs/SCALE.md, not as a defect.
+    "dedup_substring",
+    "dedup_incremental",
+    "dedup_semantic",
+    "text_winnowing",
 ]
 
 #: tables the probed keys read; value = entity-key columns shifted by
