@@ -65,6 +65,10 @@ HEADLINE = [
     "text_tfidf",
     "text_token_bpe",
     "stream_session_window",
+    # round-6 additions (2): the heaviest of the new curation surface —
+    # cross-doc span mining and clustered semantic dedup
+    "dedup_substring",
+    "dedup_semantic",
 ]
 
 

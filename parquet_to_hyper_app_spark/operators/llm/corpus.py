@@ -1312,3 +1312,123 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+#: mixture-plan constants: the token budget is this fraction of the
+#: corpus's total tokens, and each source's target share is its
+#: DECLARED weight (a deterministic function of the source name here —
+#: in production an external config table) normalized over all
+#: weighted sources. NULL / unrecognized sources carry weight 0 and
+#: are excluded from the mixture (rate 0, epochs 0) but still reported.
+_MIX_BUDGET_FRAC = 0.5
+_MIX_WEIGHT_SPARK = (
+    "CASE WHEN source IS NULL THEN 0"
+    " ELSE 1 + (CAST(substring(source, 4) AS INT) % 4) END"
+)
+_MIX_WEIGHT_DUCK = (
+    "CASE WHEN source IS NULL THEN 0"
+    " ELSE 1 + (CAST(substr(source, 4) AS INT) % 4) END"
+)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               coalesce(sum(len(list_filter(
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+'),
+                   t -> t <> ''))), 0) AS n_tokens,
+               {_MIX_WEIGHT_DUCK} AS weight
+        FROM documents GROUP BY source
+    ),
+    tgt AS (
+        SELECT source, n_docs, n_tokens, weight,
+               CAST(floor(CAST(weight AS DOUBLE) / nullif(sum(weight) OVER (), 0)
+                          * ({_MIX_BUDGET_FRAC!r} * sum(n_tokens) OVER ()))
+                    AS BIGINT) AS target_tokens
+        FROM per
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(weight AS BIGINT) AS weight,
+           coalesce(target_tokens, 0) AS target_tokens,
+           CASE WHEN n_tokens > 0 AND target_tokens IS NOT NULL
+                THEN least(CAST(target_tokens AS DOUBLE) / n_tokens, 1.0)
+                ELSE 0.0 END AS sample_rate,
+           CASE WHEN n_tokens > 0 AND target_tokens IS NOT NULL
+                THEN CAST(ceil(CAST(target_tokens AS DOUBLE) / n_tokens) AS BIGINT)
+                ELSE 0 END AS epochs
+    FROM tgt
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan — the stage between curation and training that
+    every large pretraining run has: given declared per-source mixture
+    weights and a token budget ({frac:.0%} of corpus tokens here), emit
+    each source's target token count, the sampling rate to hit it
+    (capped at 1.0), and the epoch count (>1 = the source must repeat
+    to meet its share — the up-sampling case). Complements
+    `corpus_sample_temperature`, which DERIVES weights from prevalence;
+    this one takes them as policy.
+
+    Float discipline: every ratio is a single IEEE division of exact
+    integers (token counts, integer weights) — correctly rounded
+    identically in both engines — and the only transcendental-free
+    floor/ceil land on boundaries both engines compute from the same
+    doubles. Weight-0 (NULL/unrecognized) sources report rate 0 /
+    epochs 0 rather than vanishing.
+
+    Scale: one groupBy(source) over per-row token counts (narrow), a
+    single-partition window over the ≤|sources| grouped frame for the
+    two normalizing totals, nothing else. The grouped frame is bounded
+    by the source catalogue at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    per = (
+        docs.withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n_tokens"),
+        )
+        .withColumn("weight", F.expr(_MIX_WEIGHT_SPARK))
+    )
+    # materialize the ≤|sources|-row grouped frame ONCE: the two
+    # global-total window columns otherwise each demand their own
+    # SinglePartition child and Catalyst re-plans the whole scan +
+    # aggregate subtree under BOTH (observed: 2 FileScans, 4
+    # exchanges, ~4 s for 500 docs; with the boundary: 1 scan, ~0.5 s)
+    per = per.localCheckpoint(eager=True)
+    w_all = Window.partitionBy()
+    total_w = F.sum("weight").over(w_all)
+    total_t = F.sum("n_tokens").over(w_all)
+    tgt = per.withColumn(
+        "target_tokens",
+        F.floor(
+            F.col("weight").cast("double")
+            / F.nullif(total_w, F.lit(0))
+            * (F.lit(_MIX_BUDGET_FRAC) * total_t)
+        ).cast("long"),
+    )
+    scored = F.col("n_tokens") > 0
+    has_tgt = scored & F.col("target_tokens").isNotNull()
+    ratio = F.col("target_tokens").cast("double") / F.col("n_tokens")
+    return tgt.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("weight").cast("long").alias("weight"),
+        F.coalesce("target_tokens", F.lit(0)).alias("target_tokens"),
+        F.when(has_tgt, F.least(ratio, F.lit(1.0))).otherwise(0.0).alias("sample_rate"),
+        F.when(has_tgt, F.ceil(ratio).cast("long")).otherwise(0).alias("epochs"),
+    )
+
+
+corpus_mixture_plan.__doc__ = corpus_mixture_plan.__doc__.format(frac=_MIX_BUDGET_FRAC)

@@ -814,3 +814,34 @@ def test_perplexity_bucket_terciles(spark, tmp_path):
     labels = [out[i].ppl_bucket for i in (1, 2, 3, 4, 5, 6)]
     assert labels == ["head", "head", "middle", "middle", "tail", "tail"], labels
     assert out[1].bits_per_token < out[6].bits_per_token
+
+
+def test_mixture_plan_rates_and_epochs(spark, tmp_path):
+    """Weights drive targets: an over-weighted tiny source must up-
+    sample (epochs > 1, rate capped at 1.0); a weight-0 (NULL) source
+    reports zero rate/epochs but still appears; budget conservation
+    holds (sum of targets ~ budget fraction of total tokens)."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _MIX_BUDGET_FRAC,
+        corpus_mixture_plan,
+    )
+
+    rows = (
+        # src1 → weight 2, tiny (10 tokens); src0 → weight 1, big
+        [(i, " ".join(f"w{i}x{j}" for j in range(20)), "en", "src0", 1) for i in range(20)]
+        + [(100, " ".join(f"t{j}" for j in range(10)), "en", "src1", 1)]
+        + [(101, "orphan text here", "en", None, 1)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in corpus_mixture_plan(spark, str(tmp_path)).collect()}
+    assert set(out) == {"src0", "src1", None}
+    assert out[None].weight == 0 and out[None].sample_rate == 0.0 and out[None].epochs == 0
+    # total = 413 tokens, budget ~206.5; weights 1:2 → src1 target ~137
+    # over 10 available tokens → heavy up-sampling
+    assert out["src1"].epochs > 1 and out["src1"].sample_rate == 1.0
+    assert 0.0 < out["src0"].sample_rate < 1.0
+    total_tokens = sum(r.n_tokens for r in out.values())
+    total_target = sum(r.target_tokens for r in out.values())
+    assert abs(total_target - _MIX_BUDGET_FRAC * total_tokens) <= 2
