@@ -245,3 +245,48 @@ def test_cents_half_up_matches_decimal_reference(v):
             _d.Decimal(repr(float(v))).scaleb(2).quantize(_d.Decimal(1), _d.ROUND_HALF_UP)
         )
     assert got == want, (v, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.data(),
+    shared_extra=st.integers(min_value=0, max_value=4),
+)
+def test_winnowing_shared_run_guarantee(_spark, data, shared_extra):
+    """Property (Schleimer et al. 2003, thm 1): two documents sharing a
+    token run of length >= k + w - 1 ALWAYS share a fingerprint,
+    wherever the run sits and whatever surrounds it; and a doc's
+    fingerprint count never exceeds its gram count."""
+    import os
+    import tempfile
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _WIN_K,
+        _WIN_W,
+        text_winnowing,
+    )
+
+    alphabet = [f"t{i}" for i in range(12)]
+    run_len = _WIN_K + _WIN_W - 1 + shared_extra
+    run = data.draw(
+        st.lists(st.sampled_from(alphabet), min_size=run_len, max_size=run_len)
+    )
+    pad = st.lists(st.sampled_from(alphabet), min_size=0, max_size=10)
+    doc1 = data.draw(pad) + run + data.draw(pad)
+    doc2 = data.draw(pad) + run + data.draw(pad)
+    rows = [
+        (1, " ".join(doc1), "en", "s", 1),
+        (2, " ".join(doc2), "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = text_winnowing(_spark, d).collect()
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in out:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], (doc1, doc2)
+    for doc_id, doc in ((1, doc1), (2, doc2)):
+        n_grams = max(len(doc) - _WIN_K + 1, 0)
+        assert 1 <= len(fps[doc_id]) <= n_grams
