@@ -928,9 +928,9 @@ _GOPHER_MIN_REQUIRED_HITS = 1
 _REQ_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED) + "]"
 
 
-@query(
-    "quality_gopher_rules",
-    oracle=f"""
+#: the full gopher-rule oracle — named so stream_quality_gate's oracle
+#: can compose it verbatim (per-source rollup of the same verdict)
+GOPHER_ORACLE = f"""
     WITH t AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
@@ -973,36 +973,20 @@ _REQ_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_REQUIRED) + "]"
                AND len(list_intersect(toks, {_REQ_SQL})) >= {_GOPHER_MIN_REQUIRED_HITS},
                FALSE) AS passes_gopher
     FROM t
-    """,
-)
-def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style heuristic quality filter (Rae et al. 2021 appendix
-    A1 — the standard rule battery between raw crawl and model-based
-    scoring): word-count band, mean-word-length band, alphabetic-word
-    ratio floor, bullet-start / ellipsis-end line-ratio ceilings, and
-    required-word ("stop word presence") hits, plus the combined
-    ``passes_gopher`` verdict. Complements ``text_quality`` (char-level
-    punct/digit ratios) with the word- and line-level rule set.
-
-    Contract: NULL text scores as the empty document; a doc with no
-    words fails the word-count band (never NULL-passes); line-level
-    rules vacuously pass when the doc has no non-blank lines; the
-    verdict is coalesced to FALSE so the output is total. Whitespace is
-    the shared three-engine WS class, blank-line detection uses NON_WS
-    (never ``\\s`` — engine dialects differ, crosshash.py).
-
-    Scale shape: pure per-row JVM expressions — no shuffle, no UDF, no
-    explode; whole-stage codegen end to end, trivially parallel at any
-    corpus size. This is deliberately the cheap pre-filter that runs
-    BEFORE anything that shuffles (dedup, tokenize): at 100 TB the
-    narrow-filter-first composition is what pipeline_training_corpus
-    demonstrates end-to-end.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "text", F.coalesce("text", F.lit(""))
-    )
-    df = docs.withColumn("__toks", tokens(F.lower(F.col("text")))).withColumn(
-        "__lines", F.filter(F.split("text", "\n"), lambda l: l.rlike(NON_WS))
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Adds the Gopher metric + verdict columns to a documents frame —
+    pure per-row expressions, so it runs identically under batch and
+    readStream (used by `quality_gopher_rules` and
+    `stream_quality_gate`). Returns the input columns plus n_words /
+    mean_word_len / alpha_word_ratio / bullet_line_ratio /
+    ellipsis_line_ratio / n_required_hits / passes_gopher."""
+    df = (
+        docs.withColumn("text", F.coalesce("text", F.lit("")))
+        .withColumn("__toks", tokens(F.lower(F.col("text"))))
+        .withColumn("__lines", F.filter(F.split("text", "\n"), lambda l: l.rlike(NON_WS)))
     )
     n_words = F.size("__toks")
     n_lines = F.size("__lines")
@@ -1032,15 +1016,51 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (req_hits >= _GOPHER_MIN_REQUIRED_HITS),
         F.lit(False),
     )
-    return df.select(
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("n_required_hits", req_hits.cast("long"))
+        .withColumn("passes_gopher", passes)
+        .drop("__toks", "__lines")
+    )
+
+
+@query("quality_gopher_rules", oracle=GOPHER_ORACLE)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality filter (Rae et al. 2021 appendix
+    A1 — the standard rule battery between raw crawl and model-based
+    scoring): word-count band, mean-word-length band, alphabetic-word
+    ratio floor, bullet-start / ellipsis-end line-ratio ceilings, and
+    required-word ("stop word presence") hits, plus the combined
+    ``passes_gopher`` verdict. Complements ``text_quality`` (char-level
+    punct/digit ratios) with the word- and line-level rule set.
+
+    Contract: NULL text scores as the empty document; a doc with no
+    words fails the word-count band (never NULL-passes); line-level
+    rules vacuously pass when the doc has no non-blank lines; the
+    verdict is coalesced to FALSE so the output is total. Whitespace is
+    the shared three-engine WS class, blank-line detection uses NON_WS
+    (never ``\\s`` — engine dialects differ, crosshash.py).
+
+    Scale shape: pure per-row JVM expressions — no shuffle, no UDF, no
+    explode; whole-stage codegen end to end, trivially parallel at any
+    corpus size. This is deliberately the cheap pre-filter that runs
+    BEFORE anything that shuffles (dedup, tokenize): at 100 TB the
+    narrow-filter-first composition is what pipeline_training_corpus
+    demonstrates end-to-end.
+    """
+    return gopher_flags(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_word_ratio"),
-        bullet_ratio.alias("bullet_line_ratio"),
-        ellipsis_ratio.alias("ellipsis_line_ratio"),
-        req_hits.cast("long").alias("n_required_hits"),
-        passes.alias("passes_gopher"),
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "n_required_hits",
+        "passes_gopher",
     )
 
 
@@ -1432,3 +1452,75 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 corpus_mixture_plan.__doc__ = corpus_mixture_plan.__doc__.format(frac=_MIX_BUDGET_FRAC)
+
+
+@query(
+    "stream_quality_gate",
+    oracle=f"""
+    WITH q AS ({GOPHER_ORACLE})
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN q.passes_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN q.passes_gopher THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS pass_rate
+    FROM q JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation gate: the documents corpus as a Structured
+    Streaming file source → the SAME per-row Gopher verdict
+    (`gopher_flags` — identical expressions batch and stream, which is
+    exactly Spark's unification) → complete-mode per-source pass-rate
+    rollup, driven to completion with availableNow. The live-pipeline
+    twin of `quality_gopher_rules`: a crawl drop writes parquet files
+    into the source dir and the gate maintains per-source acceptance
+    rates incrementally.
+
+    Lives beside the batch rule set (not streaming/windows.py) so the
+    two can share `gopher_flags` without coupling the streaming
+    module's ten green closures to this module's churn.
+
+    Scale: state = one counter pair per source (bounded by the source
+    catalogue); per-row expressions are stateless; one shuffle on
+    source per micro-batch. Complete mode re-emits the small rollup,
+    never the corpus.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from parquet_to_hyper_app_spark.streaming.source import (
+        ensure_session_configs,
+        run_to_memory,
+    )
+
+    ensure_session_configs(spark)
+    qname = f"qg_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    # qname is a fresh uuid → the dir is new; no stale-link repair
+    # needed (that logic in events_file_stream exists for REUSED names)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    docs = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        gopher_flags(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0)).alias("n_pass"),
+        )
+    )
+    out = run_to_memory(agg, qname, ckpt, "complete")
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("n_pass").cast("long").alias("n_pass"),
+        (F.col("n_pass").cast("double") / F.col("n_docs")).alias("pass_rate"),
+    )
