@@ -1341,13 +1341,17 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: weighted sources. NULL / unrecognized sources carry weight 0 and
 #: are excluded from the mixture (rate 0, epochs 0) but still reported.
 _MIX_BUDGET_FRAC = 0.5
+#: TRY_CAST + coalesce keep the weight TOTAL on both engines: a source
+#: name outside the srcN scheme must weight 0, not NULL-poison the
+#: normalizing sum (Spark's ANSI-off CAST already try-casts; DuckDB's
+#: plain CAST would ERROR on it — review r6)
 _MIX_WEIGHT_SPARK = (
-    "CASE WHEN source IS NULL THEN 0"
-    " ELSE 1 + (CAST(substring(source, 4) AS INT) % 4) END"
+    "coalesce(CASE WHEN source IS NULL THEN 0"
+    " ELSE 1 + (TRY_CAST(substring(source, 4) AS INT) % 4) END, 0)"
 )
 _MIX_WEIGHT_DUCK = (
-    "CASE WHEN source IS NULL THEN 0"
-    " ELSE 1 + (CAST(substr(source, 4) AS INT) % 4) END"
+    "coalesce(CASE WHEN source IS NULL THEN 0"
+    " ELSE 1 + (TRY_CAST(substr(source, 4) AS INT) % 4) END, 0)"
 )
 
 

@@ -328,6 +328,10 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         # per-lang blocking) yet DOES form its own GROUP BY partition
         langs[12] = None
         sources[13] = None
+        # out-of-scheme source name: weight parsing must degrade to 0
+        # on BOTH engines (Spark ANSI-off cast NULLs, DuckDB needs
+        # TRY_CAST — corpus_mixture_plan), never error or NULL-poison
+        sources[16] = "webcrawl"
     return pa.table(
         {
             "doc_id": pa.array(range(1, n + 1), pa.int64()),
