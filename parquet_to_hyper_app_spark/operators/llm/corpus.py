@@ -1512,7 +1512,16 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src_dir, "documents.parquet"),
     )
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    docs = spark.readStream.schema(schema).parquet(src_dir)
+    # recursiveFileLookup: the corpus may be a single parquet FILE (the
+    # driver testdata) or a DIRECTORY of part files (any Spark-written
+    # table — the scale probe's replicas); the stream listing does not
+    # descend into subdirectories on its own (found by the x16 probe:
+    # 0 rows streamed from a directory-shaped corpus)
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
     agg = (
         gopher_flags(docs)
         .groupBy("source")

@@ -68,6 +68,8 @@ PROBE_KEYS = [
     "dedup_incremental",
     "dedup_semantic",
     "text_winnowing",
+    "text_perplexity_bucket",
+    "stream_quality_gate",
 ]
 
 #: tables the probed keys read; value = entity-key columns shifted by
