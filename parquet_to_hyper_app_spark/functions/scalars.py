@@ -313,22 +313,41 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- for an EMPTY list where Spark's array_join emits '' — ''
            -- is the contract for a defined-but-empty vector, NULL for
            -- an undefined one (review r5)
+           -- floor(x*1e6 + 0.5)/1e6 BEFORE the formatting cast: the
+           -- pure-IEEE 6-dp round (see l2_norm) moves the value off
+           -- any decimal tie, making the DECIMAL(18,6) format cast
+           -- unambiguous in both engines (r6 fuzz, seed 23)
            CASE WHEN embedding IS NOT NULL THEN
                coalesce(array_to_string(list_transform(embedding[1:4],
                    x -> CASE WHEN abs(CAST(x AS DOUBLE)) < 1e12
-                             THEN CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
+                             THEN CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) / 1e6
+                                       AS DECIMAL(18,6)) AS VARCHAR)
                              ELSE 'overflow' END), ','), '')
            END AS head4_csv,
-           -- DECIMAL(24,6) round-trip, not round(x, 6): see the Spark
-           -- side — DuckDB's round is binary x*1e6 arithmetic and
-           -- splits from Spark's shortest-repr round at 1e8-magnitude
+           -- 6-dp rounding is floor(x*1e6 + 0.5)/1e6 in DOUBLE: every
+           -- step is one correctly-rounded IEEE op both engines
+           -- perform identically, so the result CANNOT diverge — no
+           -- decimal-rounding rule is involved at all. (The previous
+           -- DECIMAL(24,6) round-trip was NOT such a primitive: Spark
+           -- rounds the double's SHORTEST REPR half-up while DuckDB
+           -- rounds the EXACT BINARY value — seed-23 dirty fuzz landed
+           -- the l2 norm on ...2285345, shortest-repr-above-half but
+           -- binary-below, and a dyadic mean on an exact tie where
+           -- DuckDB rounds half-even. Both split.) Domain gate 1e12
+           -- matches head4 — Spark's floor returns BIGINT.
            CASE WHEN len(embedding) > 0 THEN
-               CAST(CAST(sqrt(list_sum(list_transform(
-                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   AS DECIMAL(24,6)) AS DOUBLE)
+               CASE WHEN sqrt(list_sum(list_transform(
+                        embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) < 1e12
+                    THEN floor(sqrt(list_sum(list_transform(
+                        embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * 1e6 + 0.5) / 1e6
+               END
            END AS l2_norm,
-           CAST(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-                 / len(embedding) AS DECIMAL(24,6)) AS DOUBLE) + 0.0 AS mean_dim
+           CASE WHEN abs(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     / len(embedding)) < 1e12
+                THEN floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     / len(embedding) * 1e6 + 0.5) / 1e6 + 0.0
+           END AS mean_dim
     FROM embeddings
     """,
 )
@@ -348,10 +367,19 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides now emit an explicit 'overflow' marker (review r5). NaN
     # lands in the marker branch in both engines (NaN < 1e12 is false
     # under Spark's total order and DuckDB's comparison alike).
+    def round6(d):
+        # pure-IEEE 6-dp round: multiply, add, floor, divide — four
+        # correctly-rounded double ops both engines execute
+        # identically, so parity holds at ANY value including decimal
+        # ties (r6 fuzz seed 23; see the oracle comment). floor()
+        # returns BIGINT in Spark — the 1e12 domain gates keep it
+        # exact and in-range on every call site.
+        return F.floor(d * 1e6 + F.lit(0.5)).cast("double") / 1e6
+
     def fmt(x):
         d = x.cast("double")
         return F.when(
-            F.abs(d) < 1e12, d.cast("decimal(18,6)").cast("string")
+            F.abs(d) < 1e12, round6(d).cast("decimal(18,6)").cast("string")
         ).otherwise(F.lit("overflow"))
 
     return e.select(
@@ -368,37 +396,38 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # empty-array guard: Spark's fold of [] yields the 0.0 init
         # while DuckDB's list_sum([]) is NULL — pin NULL on both.
-        # 6-fraction-digit rounding goes through a DECIMAL(24,6)
-        # round-trip, NOT round(x, 6): Spark's round converts via the
-        # double's SHORTEST DECIMAL REPR (BigDecimal) while DuckDB's
-        # round is binary x*1e6 arithmetic, and at the dirty profile's
-        # 1e8-scale vectors the norm (~7.5e8) puts double spacing
-        # (~1.2e-7) within an order of the 6th decimal — seed 11 landed
-        # a value on the half boundary and the engines split (r6 fuzz).
-        # The double→DECIMAL cast is the verified shortest-repr
-        # HALF_UP primitive in BOTH engines (same contract the cents
-        # fold pins), so the round-trip cannot diverge. Domain:
-        # DECIMAL(24,6) holds |x| < 1e18 — far above any vector this
-        # schema ships (dirty-profile max is a ~7.5e8 norm); beyond it
-        # Spark degrades to NULL while the DuckDB oracle hard-errors,
-        # the same out-of-contract line head4_csv draws at 1e12.
+        # 6-dp rounding is the pure-IEEE floor primitive (round6 above;
+        # history: round(x,6) split on shortest-repr-vs-binary at
+        # 1e8-magnitude in r6 seed 11, its DECIMAL(24,6) replacement
+        # split AGAIN on seed 23 — Spark decimal-casts the shortest
+        # repr half-up, DuckDB the exact binary half-even; only
+        # identical IEEE arithmetic is actually engine-proof). Domain:
+        # |x| < 1e12 (same overflow line head4_csv draws) — beyond it
+        # both sides emit NULL.
         F.when(
-            F.size("embedding") > 0,
-            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
-            .cast("decimal(24,6)")
-            .cast("double"),
+            (F.size("embedding") > 0)
+            & (
+                F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
+                < 1e12
+            ),
+            round6(
+                F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x))
+            ),
         ).alias("l2_norm"),
         # `+ 0.0` collapses IEEE signed zero: a near-zero negative mean
         # (e.g. a denormal-scale vector) rounds to -0.0 in one engine
         # and +0.0 in the other; -0.0 + 0.0 = +0.0 in both (caught by
         # the adversarial-data sweep, tools/fuzz_data.py)
-        (
-            (
+        F.when(
+            F.abs(
                 F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
                 / F.size("embedding")
             )
-            .cast("decimal(24,6)")
-            .cast("double")
-            + F.lit(0.0)
+            < 1e12,
+            round6(
+                F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding")
+            )
+            + F.lit(0.0),
         ).alias("mean_dim"),
     )

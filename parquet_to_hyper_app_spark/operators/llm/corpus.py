@@ -549,7 +549,7 @@ _HASH60_SPAN = float(1 << 60)
         FROM counts
     )
     SELECT d.doc_id, d.source,
-           CAST(CAST(r.rate AS DECIMAL(24,6)) AS DOUBLE) AS sample_rate,
+           floor(r.rate * 1e6 + 0.5) / 1e6 AS sample_rate,
            (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                / {_HASH60_SPAN!r}) < r.rate AS kept
     FROM documents d
@@ -597,11 +597,16 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            # DECIMAL(24,6) round-trip, not round(x, 6): the one
-            # 6-digit rounding primitive verified to follow the same
-            # shortest-repr half-up rule in both engines (review r6 —
-            # same contract as array_ops' l2_norm)
-            F.col("rate").cast("decimal(24,6)").cast("double").alias("sample_rate"),
+            # pure-IEEE 6-dp round (floor(x*1e6+0.5)/1e6 — identical
+            # double ops both engines): the DECIMAL(24,6) round-trip
+            # this replaced is NOT engine-proof at decimal ties (Spark
+            # decimal-casts the shortest repr half-up, DuckDB the
+            # exact binary — r6 fuzz seed 23 split array_ops on it;
+            # same contract as array_ops.round6). Rates live in [0,1],
+            # far inside the primitive's exact domain.
+            (F.floor(F.col("rate") * 1e6 + F.lit(0.5)).cast("double") / 1e6).alias(
+                "sample_rate"
+            ),
             (u < F.col("rate")).alias("kept"),
         )
     )

@@ -360,6 +360,12 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
         # and the Lloyd argmin (an absolute epsilon breaks exactly here)
         m[6] = m[6] * 1e8
         rows = [row.tolist() for row in m]
+        # exact decimal-tie dyadics (x.xxxxxx5 with terminating binary
+        # expansion): a double→DECIMAL(24,6) cast rounds these half-up
+        # from the shortest repr in Spark but half-even from the exact
+        # binary in DuckDB — the r6 seed-23 split. The 6-dp contract is
+        # now pure-IEEE floor arithmetic; these rows keep it pinned.
+        rows[9] = [0.5078125, -0.5078125, 2.5078125, -2.5078125] + rows[9][4:]
         # undefined vectors INSIDE the query panel (vec_id 8, 9 < 10):
         # NULL and empty embeddings are excluded from every search /
         # near-dup operator on both engines (valid_vectors ↔ the
