@@ -1350,13 +1350,12 @@ _MIX_BUDGET_FRAC = 0.5
 #: name outside the srcN scheme must weight 0, not NULL-poison the
 #: normalizing sum (Spark's ANSI-off CAST already try-casts; DuckDB's
 #: plain CAST would ERROR on it — review r6)
-_MIX_WEIGHT_SPARK = (
+#: ONE constant for both engines (substring(s, pos) parses in Spark
+#: SQL and DuckDB alike) — two near-identical strings invited silent
+#: one-sided edits (review r6)
+_MIX_WEIGHT_SQL = (
     "coalesce(CASE WHEN source IS NULL THEN 0"
     " ELSE 1 + (TRY_CAST(substring(source, 4) AS INT) % 4) END, 0)"
-)
-_MIX_WEIGHT_DUCK = (
-    "coalesce(CASE WHEN source IS NULL THEN 0"
-    " ELSE 1 + (TRY_CAST(substr(source, 4) AS INT) % 4) END, 0)"
 )
 
 
@@ -1369,7 +1368,7 @@ _MIX_WEIGHT_DUCK = (
                coalesce(sum(len(list_filter(
                    regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+'),
                    t -> t <> ''))), 0) AS n_tokens,
-               {_MIX_WEIGHT_DUCK} AS weight
+               {_MIX_WEIGHT_SQL} AS weight
         FROM documents GROUP BY source
     ),
     tgt AS (
@@ -1427,7 +1426,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n_tokens"),
         )
-        .withColumn("weight", F.expr(_MIX_WEIGHT_SPARK))
+        .withColumn("weight", F.expr(_MIX_WEIGHT_SQL))
     )
     # materialize the ≤|sources|-row grouped frame ONCE: the two
     # global-total window columns otherwise each demand their own
@@ -1496,6 +1495,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the corpus.
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1536,6 +1536,11 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = run_to_memory(agg, qname, ckpt, "complete")
+    # one-shot availableNow query: the checkpoint + symlink dir has no
+    # further use (run_to_memory localCheckpoints the result), and the
+    # uuid naming means nothing ever reuses it — remove it so repeated
+    # sweeps/probes don't accumulate temp litter (review r6)
+    shutil.rmtree(base, ignore_errors=True)
     return out.select(
         "source",
         "n_docs",

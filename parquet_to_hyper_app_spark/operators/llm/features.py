@@ -319,6 +319,24 @@ def _km_assign_ctes() -> str:
     )"""
 
 
+def _km_trained_assignment(spark: SparkSession, sf_dir: str):
+    """The shared quantizer prologue: valid vectors as double arrays,
+    ordered-sample Lloyd's training, and the full-corpus
+    nearest-centroid assignment expression. Returns (emb, v, cents) —
+    cents is [] for an empty embeddings table (callers return their
+    typed empty frame). One definition so the bitwise-sensitive sampling /
+    empty-guard / assignment contract cannot drift between
+    `similarity_kmeans_ivf` and `dedup_semantic` (review r6)."""
+    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    sample = [
+        (r.vec_id, list(r.e)) for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
+    ]
+    return emb, v, lloyd_train(sample)
+
+
 def _assign_expr(cents: list[list[float]]) -> str:
     """Spark SQL expression assigning a double-array column ``e`` to
     its nearest literal centroid: sequential (x−c)² fold per centroid,
@@ -395,15 +413,7 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-centroid folds against literal centroids, no Python, no
     shuffle) and lists are written bucketed by centroid_id.
     """
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    sample = [
-        (r.vec_id, list(r.e))
-        for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
-    ]
-    cents = lloyd_train(sample)
+    emb, v, cents = _km_trained_assignment(spark, sf_dir)
     if not cents:  # empty embeddings table: typed empty result, no crash
         return spark.createDataFrame(
             [],
@@ -560,14 +570,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
 
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    sample = [
-        (r.vec_id, list(r.e)) for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
-    ]
-    cents = lloyd_train(sample)
+    _emb, v, cents = _km_trained_assignment(spark, sf_dir)
     if not cents:  # empty embeddings table: typed empty result, no crash
         return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
     assigned = v.withColumn("cluster_id", F.expr(_assign_expr(cents)).cast("long"))

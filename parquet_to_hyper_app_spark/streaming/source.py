@@ -159,7 +159,17 @@ def events_file_stream(
             os.symlink(target, link)
     else:
         os.symlink(target, link)
-    stream = spark.readStream.schema(RAW_EVENTS_SCHEMA).parquet(src_dir)
+    # recursiveFileLookup: the events table may be a single parquet
+    # FILE (driver testdata) or a Spark-written DIRECTORY of part
+    # files (scale-probe replicas, any real table) — the stream file
+    # listing does not descend into subdirectories on its own, so a
+    # directory-shaped target silently streamed 0 rows (found by the
+    # r6 x16 probe against stream_quality_gate's identical read)
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
     # cache key carries mtime+size so an in-place rewrite of the same
     # path with a different physical ts unit re-probes instead of
     # applying the stale scale (review r5); missing target falls back

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 
-from tools.greens import BUDGET, STATE_PATH, load_state, priority
+from tools.greens import BUDGET, STATE_PATH, fingerprint, load_state, priority
 
 from parquet_to_hyper_app_spark.registry import load_all
 
@@ -67,7 +67,10 @@ def test_hot_keys_fit_driver_budget():
     # it forever (exactly what happened to the window quartet r4→r5)
     state = load_state()
     starved = [
-        k for k in outside if state["greens"].get(k, {}).get("deferred_rounds", 0) >= 1
+        k
+        for k in outside
+        if state["greens"].get(k, {}).get("deferred_rounds", 0) >= 1
+        or state.get("never_deferred", {}).get(k, 0) >= 1
     ]
     assert not starved, (
         f"keys already deferred in a prior round are outside the budget "
@@ -115,6 +118,12 @@ def test_record_increments_deferred_for_skipped_hot_keys(tmp_path, monkeypatch):
     ledger = tmp_path / "local_parity.json"
     ledger.write_text("{}\n")
     monkeypatch.setattr(greens, "LEDGER_PATH", str(ledger))
+    # STATE_PATH must ALSO point at tmp: record() resolves the committed
+    # check_priority.json next to it, and without the patch the hot set
+    # silently comes from the repo's live file instead of the fake
+    # state — the test then depends on which real keys happen to be hot
+    # (review r6)
+    monkeypatch.setattr(greens, "STATE_PATH", str(tmp_path / "green_state.json"))
 
     specs = load_all()
     keys = sorted(specs)[:2]
@@ -216,3 +225,60 @@ def test_starved_keys_outrank_never_checked():
     }
     ordered, _ = priority({k: specs[k] for k in keys}, state)
     assert ordered == [starved, new, fresh], ordered
+
+
+def test_never_checked_key_waiver_is_charged_and_promoted(tmp_path, monkeypatch):
+    """A never-driver-checked key that was hot and got no row consumes
+    a waiver tracked in never_deferred (it has no greens entry);
+    priority() then promotes it into the starved head so it can defer
+    only its FIRST round (review r6)."""
+    import tools.greens as greens
+
+    monkeypatch.setattr(greens, "LEDGER_PATH", str(tmp_path / "local_parity.json"))
+    monkeypatch.setattr(greens, "STATE_PATH", str(tmp_path / "green_state.json"))
+    (tmp_path / "local_parity.json").write_text("{}\n")
+
+    specs = load_all()
+    keys = sorted(specs)[:3]
+    new_key, old_green, other_new = keys
+    state = {
+        "greens": {old_green: {"round": 1, "fingerprint": "x", "failed": False}},
+        "force_recheck": [],
+    }
+    import json as _json
+
+    (tmp_path / "check_priority.json").write_text(
+        _json.dumps({"order": keys, "hot": {new_key: "never", other_new: "never"}})
+    )
+    greens.record({k: specs[k] for k in keys}, state, {other_new: {
+        "hash_match": True, "err": None, "spark_rows": 1}}, round_no=6)
+    # new_key (no row) charged; other_new (got its first row) not
+    assert state["never_deferred"] == {new_key: 1}
+    ordered, _ = greens.priority({k: specs[k] for k in keys}, state)
+    assert ordered[0] == new_key
+
+
+def test_failed_tier_starved_key_is_promoted():
+    """A key whose last driver row FAILED and whose waiver was already
+    consumed outranks the never/drift tiers (review r6 — the starved
+    scan must cover every tier a consumed waiver can sit in)."""
+    specs = load_all()
+    keys = sorted(specs)[:3]
+    never_key, failed_starved, drifted = keys
+    state = {
+        "greens": {
+            failed_starved: {
+                "round": 2,
+                "fingerprint": None,
+                "failed": True,
+                "deferred_rounds": 1,
+            },
+            drifted: {"round": 1, "fingerprint": "x", "failed": False},
+        },
+        "force_recheck": [],
+    }
+    # make failed_starved's fingerprint CURRENT so it lands in tier
+    # 'failed', not 'drift'
+    state["greens"][failed_starved]["fingerprint"] = fingerprint(specs[failed_starved])
+    ordered, _ = priority({k: specs[k] for k in keys}, state)
+    assert ordered[0] == failed_starved, ordered

@@ -263,9 +263,32 @@ def priority(specs: dict[str, QuerySpec], state: dict) -> tuple[list[str], dict[
     # handful of new operators in a heavy-drift round pushes
     # once-deferred keys out of the 50-slot budget — starvation by
     # addition instead of by alphabet.
-    starved = [k for k in tiers["drift"] if greens[k].get("deferred_rounds", 0) >= 1]
+    # ... and the scan covers every tier a consumed waiver can sit in:
+    # drift AND failed (a key whose driver row failed, then overflowed
+    # the budget on a local waiver, is just as starved — review r6),
+    # plus never-checked keys that already deferred their first row
+    # (tracked in state["never_deferred"], charged by record()).
+    never_deferred = state.get("never_deferred", {})
+    starved = [
+        k
+        for k in tiers["drift"] + tiers["failed"]
+        if greens[k].get("deferred_rounds", 0) >= 1
+    ]
+    starved += [k for k in tiers["never"] if never_deferred.get(k, 0) >= 1]
+    starved.sort(
+        key=lambda k: (
+            -max(
+                greens.get(k, {}).get("deferred_rounds", 0),
+                never_deferred.get(k, 0),
+            ),
+            greens.get(k, {}).get("round", 0),
+            k,
+        )
+    )
+    never_rest = [k for k in tiers["never"] if k not in starved]
     drift_rest = [k for k in tiers["drift"] if k not in starved]
-    ordered = starved + tiers["never"] + drift_rest + tiers["failed"] + tiers["rotate"]
+    failed_rest = [k for k in tiers["failed"] if k not in starved]
+    ordered = starved + never_rest + drift_rest + failed_rest + tiers["rotate"]
     return ordered, reason
 
 
@@ -296,6 +319,17 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
         g = state["greens"].get(key)
         if g is not None and key not in rows:
             g["deferred_rounds"] = g.get("deferred_rounds", 0) + 1
+        elif g is None and key not in rows and key in specs:
+            # a never-driver-checked key that was hot and got no row
+            # also consumed a waiver — track it separately (it has no
+            # greens entry to hang a counter on) so priority() promotes
+            # it and a new key can defer only its FIRST round
+            nd = state.setdefault("never_deferred", {})
+            nd[key] = nd.get(key, 0) + 1
+    # keys that DID get their first driver row stop being
+    # never-deferred (their greens entry now carries any future count)
+    for key in rows:
+        state.get("never_deferred", {}).pop(key, None)
     for key, row in rows.items():
         if key not in specs:
             continue
