@@ -694,3 +694,82 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate"
     )
     return asof_join_df(ev, orders, tolerance="INTERVAL 30 DAYS")
+
+
+#: nearest-direction as-of tolerance: ±30 days in MICROSECONDS — the
+#: distance is compared in exact integer µs on both engines
+#: (unix_micros ↔ epoch_us); seconds-level truncation would
+#: manufacture false ties between a before- and an after-match
+_ASOF_NEAREST_TOL_US = 30 * 86400 * 1_000_000
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC NULLS LAST,
+                            o.o_orderdate ASC NULLS LAST,
+                            o.o_orderkey ASC NULLS LAST
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) <= {_ASOF_NEAREST_TOL_US}
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12c: NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'; kdb wj / QuestDB-style) — each event picks the
+    SAME-user order with the smallest |o_orderdate − ts| within ±30
+    days, either side. Tie contract (an equidistant before/after pair):
+    the EARLIER order date wins, then the smaller orderkey — pinned
+    identically in the struct-min and the oracle's ORDER BY.
+
+    Same skew-proof shape as `join_asof` (equi-join on the entity key +
+    residual band, then ARGMIN via a partial-aggregating struct-min —
+    never a window over the raw fanout), with two twists the backward
+    direction doesn't need: the distance is exact integer MICROSECONDS
+    (unix_micros ↔ epoch_us — truncating to seconds would manufacture
+    false before/after ties), and the struct must be NULL for
+    unmatched left rows (min() skips NULL structs, but a
+    struct-of-NULL-fields would lexicographically UNDERCUT every real
+    match — the inverse of the max-struct trick join_asof rides).
+    Events/orders with NULL timestamps fall out of the band predicate
+    on both engines. One shuffle on the entity key; the band keeps the
+    per-event candidate set bounded by per-user order density.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    # unix_micros takes TIMESTAMP, the tables carry TIMESTAMP_NTZ —
+    # the session timezone is pinned UTC so the cast is wall-clock
+    # preserving and equals DuckDB's epoch_us on naive timestamps
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    dist = F.abs(us(orders.o_orderdate) - us(ev.ts))
+    cond = (orders.o_custkey == ev.user_id) & (dist <= _ASOF_NEAREST_TOL_US)
+    joined = ev.join(orders, cond, "left")
+    d = F.abs(us(F.col("o_orderdate")) - us(F.col("ts")))
+    cand = F.when(
+        F.col("o_orderkey").isNotNull(),
+        F.struct(
+            d.alias("d"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("o_orderkey").alias("o_orderkey"),
+        ),
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.min(cand).alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
+    )

@@ -145,3 +145,32 @@ def test_bridge_pushdown_is_key_atomic(spark):
     b = sorted(map(tuple, restricted.collect()))
     assert a == b and len(a) > 0
     full.unpersist()
+
+
+def test_asof_nearest_tie_prefers_earlier_date(spark, tmp_path):
+    """An event exactly equidistant between a before- and an
+    after-order must pick the EARLIER order date (then smaller key);
+    out-of-tolerance events fall back to NULL."""
+    import datetime as dt
+
+    from parquet_to_hyper_app_spark.operators.relational import join_asof_nearest
+
+    t0 = dt.datetime(2024, 6, 15, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    events = [(1, 10, t0), (2, 10, t0 + dt.timedelta(days=200)), (3, 11, t0)]
+    orders = [
+        (100, 10, t0 - 2 * day),  # 2 days before event 1
+        (101, 10, t0 + 2 * day),  # 2 days after — exact tie
+        (102, 11, t0 + day),  # nearest for event 3 (1 day after)
+        (103, 11, t0 - 2 * day),
+    ]
+    spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp_ntz"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.event_id: r for r in join_asof_nearest(spark, str(tmp_path)).collect()}
+    assert out[1].o_orderkey == 100  # tie → earlier date wins
+    assert out[2].o_orderkey is None  # nothing within ±30 days
+    assert out[3].o_orderkey == 102  # genuinely nearest, forward side
