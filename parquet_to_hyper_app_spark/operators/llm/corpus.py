@@ -1547,3 +1547,74 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pass").cast("long").alias("n_pass"),
         (F.col("n_pass").cast("double") / F.col("n_docs")).alias("pass_rate"),
     )
+
+
+@query(
+    "pipeline_curation_report",
+    oracle=f"""
+    WITH flags AS ({GOPHER_ORACLE}),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+               len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '{WS}+'),
+                               t -> t <> '')) AS n_toks
+        FROM documents
+    )
+    SELECT r.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN f.passes_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+           CAST(sum(CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN f.passes_gopher AND r.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN f.passes_gopher AND r.rn = 1 THEN r.n_toks ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN f.passes_gopher AND r.rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS kept_rate
+    FROM ranked r JOIN flags f USING (doc_id)
+    GROUP BY r.source
+    """,
+)
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation report — the round-6 surface composed as ONE
+    DAG and rolled up per source: Gopher rule gate (`gopher_flags`) +
+    exact-dedup canonical rank (first doc_id per text body survives,
+    the `dedup_exact` rule) + kept-token accounting. ``n_kept`` /
+    ``kept_rate`` count docs that pass the rules AND are the canonical
+    copy — the rows a training run would actually ingest;
+    ``kept_tokens`` is the budget they contribute.
+
+    Shape: the gate is per-row (no shuffle), the canonical rank is ONE
+    window on the content key, the rollup is one grouped aggregate —
+    the narrow-first composition `pipeline_training_corpus` pins, now
+    with the r6 rule battery. At 100 TB the text-keyed window becomes
+    the sha256-keyed variant (`dedup_incremental`'s projection) —
+    semantics identical, shuffle key uniform.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_flags(docs).select("doc_id", "passes_gopher")
+    ranked = (
+        docs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+        )
+        .withColumn("__toks", tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))))
+        .select("doc_id", "source", "rn", F.size("__toks").alias("n_toks"))
+    )
+    kept = F.col("passes_gopher") & (F.col("rn") == 1)
+    return (
+        ranked.join(flagged, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gopher_pass"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_exact_dup"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).cast("long").alias("kept_tokens"),
+            (F.sum(F.when(kept, 1).otherwise(0)).cast("double") / F.count(F.lit(1))).alias(
+                "kept_rate"
+            ),
+        )
+    )
