@@ -70,6 +70,8 @@ PROBE_KEYS = [
     "text_winnowing",
     "text_perplexity_bucket",
     "stream_quality_gate",
+    "join_asof_nearest",
+    "pipeline_curation_report",
 ]
 
 #: tables the probed keys read; value = entity-key columns shifted by
