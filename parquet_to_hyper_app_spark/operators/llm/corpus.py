@@ -1618,3 +1618,96 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle=f"""
+    WITH batch AS (
+        SELECT doc_id, source, sha256(text) AS content_hash,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % {_INCR_MOD} = 0
+    ),
+    base AS (
+        SELECT DISTINCT sha256(text) AS content_hash
+        FROM documents WHERE doc_id % {_INCR_MOD} <> 0 AND text IS NOT NULL
+    )
+    SELECT b.doc_id, b.source, b.content_hash
+    FROM batch b LEFT JOIN base USING (content_hash)
+    WHERE base.content_hash IS NULL AND b.rn = 1 AND b.content_hash IS NOT NULL
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `dedup_incremental` — the live-crawl shape: an
+    incoming DOCUMENT STREAM is deduped against the
+    STATIC base corpus (stream-static LEFT ANTI join on the base's
+    distinct hash projection) and within itself (complete-mode
+    min-struct aggregation per content hash — deterministic lowest
+    doc_id, where dropDuplicates would keep an arbitrary arrival),
+    emitting only genuinely new docs.
+    Same identity (sha256) and same survivors as the batch operator's
+    'new' disposition — the oracle is that rule verbatim, minus the
+    NULL-hash rows (a streaming dropDuplicates key of NULL groups
+    NULL-text docs; the emit contract here simply excludes undefined
+    text, the dedup-path NULL rule).
+
+    Scale: the anti-join probes the static hash projection per
+    micro-batch (Spark re-plans the static side, broadcast under
+    threshold); the aggregation state holds one
+    (hash, min-struct) pair per distinct incoming doc — in production
+    bounded with a watermark over arrival time, unbounded here only
+    because availableNow runs one bounded batch.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from parquet_to_hyper_app_spark.streaming.source import (
+        ensure_session_configs,
+        run_to_memory,
+    )
+
+    ensure_session_configs(spark)
+    qname = f"sid_{uuid.uuid4().hex[:8]}"
+    base_dir = os.path.join(tempfile.gettempdir(), "p2h_spark_stream", qname)
+    src_dir = os.path.join(base_dir, "src")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .filter((F.col("doc_id") % _INCR_MOD == 0) & F.col("text").isNotNull())
+        .select("doc_id", "source", F.sha2(F.col("text"), 256).alias("content_hash"))
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % _INCR_MOD != 0) & F.col("text").isNotNull())
+        .select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .distinct()
+    )
+    # within-stream dedup is a complete-mode MIN-STRUCT aggregation,
+    # NOT dropDuplicates: dropDuplicates keeps whichever duplicate a
+    # partition happens to deliver first — nondeterministic across
+    # runs, while the oracle (and the batch twin) pin the lowest
+    # doc_id. The anti-join runs BEFORE the aggregation (stream-static
+    # joins must precede streaming aggregations).
+    survivors = (
+        stream.join(base, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(F.min(F.struct("doc_id", "source")).alias("best"))
+        .select(
+            F.col("best.doc_id").alias("doc_id"),
+            F.col("best.source").alias("source"),
+            "content_hash",
+        )
+    )
+    out = run_to_memory(survivors, qname, ckpt, "complete")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return out
