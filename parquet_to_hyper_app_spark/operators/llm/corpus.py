@@ -1711,3 +1711,54 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(survivors, qname, ckpt, "complete")
     shutil.rmtree(base_dir, ignore_errors=True)
     return out
+
+
+#: exact-quota stratified sample size (per language). Rate-based
+#: sampling (`sample_stratified`) hits a quota only in expectation;
+#: curation runs that promise "exactly k docs per language" rank by a
+#: deterministic per-doc hash and cut at k.
+_STRAT_EXACT_K = 10
+_DOC_HASH_DUCK = HASH60_DUCK.format(col="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sample_exact_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_DOC_HASH_DUCK}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {_STRAT_EXACT_K}
+    """,
+)
+def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: EXACTLY {k} docs per language
+    (fewer only if the stratum is smaller), selected by ranking on the
+    cross-engine 60-bit md5 of the doc id — a deterministic,
+    reshuffle-stable "random" order (the same device
+    corpus_sample_temperature gates on) with doc_id as the collision
+    tie-break. Complements `sample_stratified`, whose per-lang RATES
+    hit a quota only in expectation. A NULL lang forms its own stratum
+    (both engines).
+
+    Scale: one hash exchange on lang + an in-partition TOP-K — Spark
+    compiles the rank-filter window to a running row_number over a
+    sort, and because the cut is a constant k the sort can spill but
+    the retained state is k rows per stratum. For one dominant
+    language the two-phase variant (per-partition top-k, then top-k of
+    candidates) is the drop-in; at the contract scale the plain window
+    is the oracle-exact form.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_HASH60_SPARK.format(col="CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= _STRAT_EXACT_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
