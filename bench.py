@@ -69,6 +69,12 @@ HEADLINE = [
     # cross-doc span mining and clustered semantic dedup
     "dedup_substring",
     "dedup_semantic",
+    # round-7 additions (verdict r6 item 6): the single most expensive
+    # operator in the repo (absent from BENCH until now), the full
+    # curation-report DAG, and the streaming quality gate
+    "dedup_containment",
+    "pipeline_curation_report",
+    "stream_quality_gate",
 ]
 
 

@@ -304,6 +304,33 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
     # → first 'new', second 'dup_batch'
     texts[19] = texts[5]
     texts[29] = texts[39] = "batch internal duplicate text body"
+    # quality_gopher_rules gate plants (verdict r6 item 7): each doc
+    # passes every Gopher gate EXCEPT exactly one, so a regression in
+    # that single gate flips its passes_gopher boolean. All in-domain
+    # text — planted on both profiles.
+    # 1) required-word gate: 32 alphabetic words, mean length 5.0,
+    #    zero hits on the required list (the/be/to/of/and/that/have/
+    #    with) — fails ONLY n_required_hits >= 1
+    texts[40] = " ".join(
+        ["lorem", "ipsum", "dolor", "amet", "quartz", "jumbo", "flask", "nymph"] * 4
+    )
+    # 2) bullet-line gate: every non-blank line starts with '- '
+    #    (ratio 1.0 > 0.9); the bare '-' tokens drag alpha ratio to
+    #    50/60 ≈ 0.833, still above the 0.8 floor — fails ONLY bullets
+    texts[41] = "\n".join(["- the quick brown fox jumps"] * 10)
+    # 3) ellipsis-line gate: 2 of 5 lines end '...' (0.4 > 0.3);
+    #    trailing dots keep tokens alphabetic — fails ONLY ellipses
+    texts[42] = "\n".join(
+        ["the quick brown fox jumps over..." if i < 2 else "the quick brown fox jumps over"
+         for i in range(5)]
+    )
+    # 4) bullet boundary: 9 of 10 non-blank lines bulleted — ratio
+    #    exactly 0.9 ≤ 0.9, must PASS on both engines (<= vs < split),
+    #    with a blank line in the middle pinning NON_WS line filtering
+    #    and leading-space bullets pinning trim-before-test
+    texts[43] = "\n".join(
+        ["  - the quick brown fox jumps"] * 9 + ["", "the quick brown fox jumps"]
+    )
     if dirty:
         # regex-dialect divergence characters (the WS contract,
         # crosshash.WS): vertical tab splits under Java \s but not RE2

@@ -314,7 +314,19 @@ def record(specs: dict[str, QuerySpec], state: dict, rows: dict, round_no: int) 
         with open(prio_path) as f:
             hot = set(json.load(f)["hot"])
     else:
-        _, hot = priority(specs, state)
+        # ADVICE r6: this fallback recomputes the hot set from POST-edit
+        # fingerprints — exactly the driver-run skew the committed
+        # check_priority.json exists to avoid — so waivers can be
+        # mis-charged. Say so out loud; the committed file should exist
+        # in every real fold.
+        print(
+            f"WARNING: {prio_path} missing — charging waivers from a "
+            "fresh priority() over current fingerprints, which may not "
+            "match the hot set the driver actually ran against",
+            file=sys.stderr,
+        )
+        _, reason = priority(specs, state)
+        hot = set(reason)
     for key in hot:
         g = state["greens"].get(key)
         if g is not None and key not in rows:
