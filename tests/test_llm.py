@@ -696,6 +696,13 @@ def test_gopher_rules_planted(spark, tmp_path):
     no_req = " ".join(f"word{i}" for i in range(30))
     bullets = "\n".join("- the " + " ".join(f"b{i}w{j}" for j in range(10)) for i in range(3))
     dots = "\n".join("the " + " ".join(f"e{i}w{j}" for j in range(10)) + " ..." for i in range(3))
+    # ratio EXACTLY at the 0.9 ceiling (9 of 10 non-blank lines
+    # bulleted, with a blank line and leading-space bullets) must PASS:
+    # the gate is <=, lines are trimmed before the bullet test, and
+    # blank lines don't count in the denominator (fuzz plant twin)
+    boundary = "\n".join(
+        ["  - the quick brown fox jumps"] * 9 + ["", "the quick brown fox jumps"]
+    )
     rows = [
         (1, good, "en", "s", 1),
         (2, short, "en", "s", 1),
@@ -703,6 +710,7 @@ def test_gopher_rules_planted(spark, tmp_path):
         (4, bullets, "en", "s", 1),
         (5, dots, "en", "s", 1),
         (6, None, "en", "s", 0),
+        (7, boundary, "en", "s", 1),
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -715,6 +723,7 @@ def test_gopher_rules_planted(spark, tmp_path):
     assert not out[5].passes_gopher and out[5].ellipsis_line_ratio == 1.0
     # NULL text = empty doc: total output, fails word band, never NULL
     assert out[6].n_words == 0 and out[6].passes_gopher is False
+    assert out[7].passes_gopher and out[7].bullet_line_ratio == 0.9
 
 
 def test_dedup_substring_flags_shared_span(spark, tmp_path):
