@@ -72,6 +72,12 @@ PROBE_KEYS = [
     "stream_quality_gate",
     "join_asof_nearest",
     "pipeline_curation_report",
+    # round-7 additions: the stateful streaming family's scale posture
+    # was only probed via the gate — the interval join (state bounded
+    # by watermark x rate) and the session-gap window (state per open
+    # session) are the two whose state growth could misbehave
+    "stream_stream_join",
+    "stream_session_window",
 ]
 
 #: tables the probed keys read; value = entity-key columns shifted by
