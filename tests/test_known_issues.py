@@ -1,0 +1,78 @@
+"""Executable acceptance criteria for the round-8 batch (ADVICE r6).
+
+Round 7 is an edit freeze (docs/ROUND8_PLAN.md): package fixes are
+queued, not applied. These tests pin the queued behaviors so the batch
+has a mechanical definition of done — the xfail flips to XPASS (and
+fails the suite, strict=True) the moment the fix lands, forcing the
+r8 author to promote it to a plain assertion in the same commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_containment_single_token_semantics(spark, tmp_path):
+    """ADVICE r6 #3 triage (measured, round 7): the claimed 'two
+    unrelated single-token docs score containment 1.0' does NOT
+    reproduce — distinct single tokens produce distinct pseudo-bigrams
+    ('tok ' + coalesced empty) and never become candidates. Identical
+    single-token docs DO pair at 1.0, which is true containment
+    (the doc is fully contained in its duplicate). This pins the
+    current, correct-in-practice behavior; the r8 `size >= 2` guard, if
+    adopted during the tokenize-block extraction, changes the identical
+    case from 'pair at 1.0' to 'no bigrams, no pair' and must update
+    this test AND both engine sides in the same commit."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import dedup_containment
+
+    filler = "the quick brown fox jumps over the lazy dog again and again"
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "solo", "en", "s", 4),
+            (2, "solo", "en", "s", 4),
+            (3, "alpha", "en", "s", 5),
+            (4, "omega", "en", "s", 5),
+            (5, filler, "en", "s", len(filler)),
+        ],
+    )
+    pairs = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    # identical single-token docs: containment 1.0 both directions
+    assert pairs.get((1, 2)) == 1.0 and pairs.get((2, 1)) == 1.0
+    # distinct single-token docs never pair (distinct pseudo-bigrams)
+    assert not any({a, b} & {3, 4} for (a, b) in pairs if (a, b) != (3, 4))
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="ADVICE r6 #4 (queued for the r8 batch, docs/ROUND8_PLAN.md): "
+    "a ragged embedding column kills dedup_semantic with a np.stack "
+    "ValueError inside applyInPandas instead of degrading; the fix pins "
+    "uniform dimensionality upstream like the oracle's __p CTE",
+)
+def test_dedup_semantic_survives_ragged_embeddings(spark, tmp_path):
+    from parquet_to_hyper_app_spark.operators.llm.features import dedup_semantic
+
+    rows = [
+        (i + 1, [float(x) for x in np.random.default_rng(i).normal(0, 1, 8)], i % 3)
+        for i in range(40)
+    ]
+    rows[5] = (6, rows[5][1][:7], 2)  # 7-dim vector among 8-dim ones
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # must not raise; the ragged row is excluded like NULL/empty vectors
+    dedup_semantic(spark, str(tmp_path)).count()
