@@ -56,6 +56,32 @@ def test_containment_single_token_semantics(spark, tmp_path):
     assert not any({a, b} & {3, 4} for (a, b) in pairs if (a, b) != (3, 4))
 
 
+def test_semdedup_threshold_stays_synchronized():
+    """ADVICE r6 #1 tripwire (until the r8 batch single-sources it):
+    features._SEMDEDUP_T drives only the dedup_semantic ORACLE, while
+    the Spark-side verify hardcodes the 0.4 / 0.4-1e-6 literals inside
+    dedup._exact_pairs_block, and the dedup_embedding oracles carry
+    their own `cos_sim >= 0.4`. Editing any one of them silently
+    desynchronizes oracle and implementation until the next driver
+    row — this test reds immediately instead."""
+    import inspect
+    import re
+
+    from parquet_to_hyper_app_spark.operators.llm import dedup, features
+    from parquet_to_hyper_app_spark.registry import load_all
+
+    t = features._SEMDEDUP_T
+    src = inspect.getsource(dedup._exact_pairs_block)
+    prefilter = re.search(r"sims >= ([0-9.]+) - 1e-6", src)
+    cut = re.search(r"cos >= ([0-9.]+)", src)
+    assert prefilter and float(prefilter.group(1)) == t, src
+    assert cut and float(cut.group(1)) == t, src
+    for key in ("dedup_embedding", "dedup_semantic"):
+        oracle = load_all()[key].oracle
+        hits = re.findall(r">= ?([0-9.]+)\b", oracle)
+        assert str(t) in hits, (key, hits)
+
+
 @pytest.mark.xfail(
     strict=True,
     reason="ADVICE r6 #4 (queued for the r8 batch, docs/ROUND8_PLAN.md): "
