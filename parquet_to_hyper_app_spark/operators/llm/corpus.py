@@ -24,7 +24,9 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     WS,
 )
 from parquet_to_hyper_app_spark.operators.llm.dedup import (
+    BIGRAM_SIZED_CTES_TMPL,
     NGRAM_PAIRS_ORACLE_TMPL,
+    bigram_hash_frame,
     connected_components,
     ngram_jaccard_pairs,
 )
@@ -685,21 +687,7 @@ _CONTAIN_T = 0.8
 @query(
     "dedup_containment",
     oracle=f"""
-    WITH __sized AS (
-        SELECT doc_id, lang, bigrams FROM (
-            SELECT doc_id, lang,
-                   list_filter(list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 1, 1) + 1),
-                       i -> toks[i] || ' ' || coalesce(toks[i+1], ''))),
-                       g -> g <> '') AS bigrams
-            FROM (
-                SELECT doc_id, lang,
-                       list_filter(regexp_split_to_array(lower(trim(text)), '{WS}+'),
-                                   t -> t <> '') AS toks
-                FROM documents
-            )
-        ) WHERE len(bigrams) > 0
-    )
+    WITH {BIGRAM_SIZED_CTES_TMPL.format(src="documents")}
     SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
                 AS DOUBLE) / len(a.bigrams) AS containment
@@ -741,34 +729,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
-    # NOTE: this tokenize→bigram→distinct→hash block (and the oracle's
-    # __sized CTE) mirrors the canonical copy inside
-    # dedup.ngram_jaccard_pairs / NGRAM_PAIRS_ORACLE_TMPL — including
-    # its hard-won shapes (rlike(\S) BEFORE the bigram projection;
-    # get() not [] for ANSI safety). It is duplicated rather than
-    # extracted this round because refactoring dedup.py re-drifts its
-    # ten driver-green keys (shared-helper freeze, verdict r5 item 2);
-    # any contract change must touch both copies, and the 7-seed ×
-    # 2-profile fuzz sweep reds whichever copy drifts. Extraction is
-    # queued for the next round dedup.py drifts anyway.
-    grams = (
-        docs.filter(F.col("text").rlike(r"\S"))
-        .withColumn("__toks", toks)
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "array_distinct(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
-                " i -> concat_ws(' ', get(__toks, i-1), coalesce(get(__toks, i), ''))))"
-            ).alias("bigrams"),
-        )
-        .withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
-        .withColumn("hashes", F.transform("bigrams", lambda g: F.xxhash64(g)))
-        .drop("bigrams")
-        .withColumn("n", F.size("hashes"))
-        .persist()  # read 3x: df ranking, source prefixes, verify arrays
-    )
+    # the canonical tokenize→bigram→distinct→hash frame (dedup.py) —
+    # one definition shared with ngram_jaccard_pairs, so the hard-won
+    # shapes (rlike(\S) before the bigram projection, get() for ANSI
+    # safety, ['']→[] normalization) can never drift between the
+    # Jaccard and containment miners. Returned persisted (read 3x
+    # here: df ranking, source prefixes, verify arrays).
+    grams = bigram_hash_frame(docs)
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
     df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
     ranked = occ.join(df_tab, ["lang", "h"]).withColumn(

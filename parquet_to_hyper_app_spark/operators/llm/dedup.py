@@ -447,8 +447,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: relation {src}(doc_id, lang, text) — the oracle for the prefix-filter
 #: pair mining AND the building block for the cluster / pipeline oracles
 #: (format with src= a table or CTE name; no other placeholders).
-NGRAM_PAIRS_ORACLE_TMPL = f"""
-    WITH __grams AS (
+#: the canonical tokenize → distinct-word-bigram → sized CTE pair
+#: (``__grams`` + ``__sized``), shared by the Jaccard oracle below and
+#: corpus.dedup_containment's oracle (the r6 clone, extracted in r8 as
+#: queued by VERDICT r6 item 4). Format with src=<table/CTE name>;
+#: single-token docs keep their one 'tok ' pseudo-bigram (behavior
+#: pinned by tests/test_known_issues.py — identical single-token docs
+#: are true containment pairs; distinct ones can never collide).
+BIGRAM_SIZED_CTES_TMPL = f"""__grams AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(
                    range(1, greatest(len(toks) - 1, 1) + 1),
@@ -466,7 +472,11 @@ NGRAM_PAIRS_ORACLE_TMPL = f"""
                      list_filter(bigrams, g -> g <> '') AS bigrams
               FROM __grams)
         WHERE len(bigrams) > 0
-    )
+    )"""
+
+
+NGRAM_PAIRS_ORACLE_TMPL = f"""
+    WITH {BIGRAM_SIZED_CTES_TMPL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g))) AS DOUBLE)
            / len(list_distinct(list_concat(a.bigrams, b.bigrams))) AS jaccard
@@ -509,52 +519,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Exact word-bigram Jaccard pairs (J ≥ 0.5) for any
-    (doc_id, lang, text) frame — see `dedup_ngram_jaccard` for the
-    prefix-filter scheme and its losslessness proof. Reused by the
-    cluster assignment and the oracle-checked full pipeline."""
-    # the shared whitespace tokenizer (text.py), lowercased — one
-    # definition so dedup and the text-analysis operators can never
-    # drift on token semantics (review r5)
+def bigram_hash_frame(docs: DataFrame) -> DataFrame:
+    """The canonical (doc_id, lang, hashes, n) frame — distinct word
+    bigrams of each non-blank doc as int64 xxhash64 values — the Spark
+    twin of BIGRAM_SIZED_CTES_TMPL, shared by `ngram_jaccard_pairs`
+    and corpus.dedup_containment (the r6 clone, extracted in r8).
+    Returned PERSISTED (both callers read it ≥3×: df ranking, prefix
+    rows, verify arrays); the caller owns the unpersist().
+
+    The hard-won shapes live here exactly once:
+    - the shared whitespace tokenizer (text.py), lowercased — one
+      definition so dedup and the text-analysis operators can never
+      drift on token semantics (review r5);
+    - the empty-doc row filter runs on the RAW text BEFORE the bigram
+      expression exists: rlike(\\S) ⟺ at least one token ⟺ bigrams
+      non-empty after the empty-string element filter below (trim()
+      would be wrong — Spark's trim strips spaces only, keeping
+      tab/newline-only docs). Filtering on the derived
+      size(bigrams) > 0 instead inlines the WHOLE tokenize+bigram+
+      distinct expression into the Filter node (Catalyst collapses the
+      projections), evaluating it twice per row outside codegen's
+      subexpression reuse — measured 6.0 s vs 0.36 s at sf0.1;
+    - get() instead of [] so the out-of-bounds probe on 1-token docs
+      yields NULL under ANSI mode too (the registry path runs ANSI
+      off, but this helper is also called on caller-owned sessions —
+      property tests caught the [] form throwing INVALID_ARRAY_INDEX);
+    - Spark's concat_ws over a missing token yields bigrams=[''] where
+      the oracle's NULL-dropping list_distinct yields [] — normalized
+      to [] (zero-token rows are already gone via the rlike filter),
+      so every surviving row has n >= 1;
+    - each distinct bigram is hashed ONCE per doc: candidate
+      generation and per-pair verifies run on int64s; string bytes are
+      never rescanned per pair (that rescan alone cost 97 s at sf0.1).
+    """
     toks = tokens(F.lower(F.col("text")))
-    # Empty-doc row filter runs on the RAW text BEFORE the bigram
-    # expression exists: rlike(\S) ⟺ at least one token ⟺ bigrams
-    # non-empty after the empty-string element filter below (trim()
-    # would be wrong here — Spark's trim strips spaces only, keeping
-    # tab/newline-only docs). Filtering on the derived
-    # size(bigrams) > 0 instead inlines the WHOLE tokenize+bigram+
-    # distinct expression into the Filter node (Catalyst collapses the
-    # projections), evaluating it twice per row outside codegen's
-    # subexpression reuse — measured 6.0 s vs 0.36 s for this stage at
-    # sf0.1. Cheap predicate first.
     grams = docs.filter(F.col("text").rlike(r"\S")).withColumn("__toks", toks).select(
         "doc_id",
         "lang",
-        # get() instead of [] so the out-of-bounds probe on 1-token docs
-        # yields NULL under ANSI mode too (the registry path runs ANSI
-        # off, but this helper is also called on caller-owned sessions —
-        # property tests caught the [] form throwing INVALID_ARRAY_INDEX)
         F.expr(
             "array_distinct(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
             " i -> concat_ws(' ', get(__toks, i-1), coalesce(get(__toks, i), ''))))"
         ).alias("bigrams"),
     )
-    # empty/whitespace-only docs: Spark's concat_ws over a missing token
-    # yields bigrams=[''] where the oracle's NULL-dropping list_distinct
-    # yields [] — normalize to [] (zero-token rows are already gone via
-    # the rlike filter; this keeps per-element parity for whitespace
-    # edge docs, so every surviving row has n >= 1)
-    # hash each distinct bigram ONCE per doc: candidate generation and
-    # the per-pair verify both run on int64s; string bytes are never
-    # rescanned per pair (that rescan alone cost 97s at sf0.1)
-    grams = (
+    return (
         grams.withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
         .withColumn("hashes", F.transform("bigrams", lambda g: F.xxhash64(g)))
         .drop("bigrams")
         .withColumn("n", F.size("hashes"))
-        .persist()  # read 3×: df ranking, prefixes, verify arrays
+        .persist()
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact word-bigram Jaccard pairs (J ≥ 0.5) for any
+    (doc_id, lang, text) frame — see `dedup_ngram_jaccard` for the
+    prefix-filter scheme and its losslessness proof. Reused by the
+    cluster assignment and the oracle-checked full pipeline."""
+    grams = bigram_hash_frame(docs)
     # global total order per lang: (document frequency asc, hash) —
     # prefixes fill with the RAREST bigrams first
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
@@ -793,9 +814,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs.select("doc_id")).select("doc_id", "cluster_id")
 
 
+#: the ONE cosine near-dup threshold, shared by dedup_embedding,
+#: dedup_embedding_lsh and features.dedup_semantic (SemDeDup) — Spark
+#: verifies and DuckDB oracles alike (ADVICE r6 #1: the literals were
+#: previously scattered across _exact_pairs_block, the oracles and
+#: features._SEMDEDUP_T, desynchronizable one edit at a time).
+#: BLAS prefilters run at (COSINE_T − 1e-6); the sequential-fold exact
+#: verify applies COSINE_T itself.
+COSINE_T = 0.4
+
+
 @query(
     "dedup_embedding",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
@@ -808,7 +839,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
         FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_T}
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +974,7 @@ def _exact_pairs_block(ids_a, ma, ids_b, mb, upper: bool) -> list[tuple[int, int
     nb = np.linalg.norm(mb, axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         sims = (ma @ mb.T) / np.outer(na, nb)
-    ii, jj = np.nonzero(sims >= 0.4 - 1e-6)  # BLAS prefilter only
+    ii, jj = np.nonzero(sims >= COSINE_T - 1e-6)  # BLAS prefilter only
     if upper:
         keep = ids_a[ii] < ids_b[jj]
         ii, jj = ii[keep], jj[keep]
@@ -951,7 +982,7 @@ def _exact_pairs_block(ids_a, ma, ids_b, mb, upper: bool) -> list[tuple[int, int
     for i, j in zip(ii.tolist(), jj.tolist()):
         # oracle-exact sequential fold decides the real threshold cut
         cos = _seq_cosine(ma[i], mb[j])
-        if cos >= 0.4:
+        if cos >= COSINE_T:
             x, y = int(ids_a[i]), int(ids_b[j])
             rows.append((min(x, y), max(x, y), cos))
     return rows
@@ -1049,7 +1080,7 @@ def _emb_lsh_oracle() -> str:
         JOIN __v a ON a.vec_id = p.vec_a
         JOIN __v b ON b.vec_id = p.vec_b
     )
-    SELECT vec_a, vec_b, cos_sim FROM __cos WHERE cos_sim >= 0.4
+    SELECT vec_a, vec_b, cos_sim FROM __cos WHERE cos_sim >= {COSINE_T}
     """
 
 

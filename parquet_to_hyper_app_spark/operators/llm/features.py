@@ -298,7 +298,8 @@ def _km_assign_ctes() -> str:
     return f"""__p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+        FROM embeddings, __p
+        WHERE embedding IS NOT NULL AND len(embedding) = dim
     ),
     __s AS (SELECT vec_id, e FROM __v ORDER BY vec_id LIMIT {_KM_SAMPLE}),
     __c0 AS (
@@ -326,8 +327,21 @@ def _km_trained_assignment(spark: SparkSession, sf_dir: str):
     cents is [] for an empty embeddings table (callers return their
     typed empty frame). One definition so the bitwise-sensitive sampling /
     empty-guard / assignment contract cannot drift between
-    `similarity_kmeans_ivf` and `dedup_semantic` (review r6)."""
+    `similarity_kmeans_ivf` and `dedup_semantic` (review r6).
+
+    The quantizer's domain is vectors of the CORPUS dimensionality
+    (max length over defined embeddings; one tiny agg job) — a ragged
+    shorter vector previously CRASHED dedup_semantic's np.stack inside
+    applyInPandas (ADVICE r6 #4) and silently NULL-poisoned the Spark
+    assignment fold while DuckDB's list ops skipped the missing tail:
+    exclusion on BOTH engines (here ↔ the oracle's `len(embedding) =
+    dim` against __p) is the only ragged contract the two engines can
+    agree on. Mirrors valid_vectors' NULL/empty exclusion one level up.
+    """
     emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    if dim is not None:
+        emb = emb.filter(F.size("embedding") == dim)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -510,12 +524,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: SemDeDup cosine threshold — deliberately the same constant as the
-#: dedup_embedding family (the synthetic vectors are near-random, so
-#: 0.4 is the regime where pairs exist at test scale) and the same
+#: SemDeDup cosine threshold — BY CONSTRUCTION the same constant as
+#: the dedup_embedding family (the synthetic vectors are near-random,
+#: so 0.4 is the regime where pairs exist at test scale) and the same
 #: bitwise contract: BLAS prefilter at (T − 1e-6), sequential-fold
-#: exact verify at T (`_exact_pairs_block`, dedup.py).
-_SEMDEDUP_T = 0.4
+#: exact verify at T (`_exact_pairs_block`, dedup.py). Imported, not
+#: redeclared (ADVICE r6 #1): one edit moves the Spark verify, this
+#: oracle, and the dedup_embedding oracles together.
+from parquet_to_hyper_app_spark.operators.llm.dedup import COSINE_T as _SEMDEDUP_T
 
 
 def _semdedup_oracle() -> str:

@@ -57,39 +57,35 @@ def test_containment_single_token_semantics(spark, tmp_path):
 
 
 def test_semdedup_threshold_stays_synchronized():
-    """ADVICE r6 #1 tripwire (until the r8 batch single-sources it):
-    features._SEMDEDUP_T drives only the dedup_semantic ORACLE, while
-    the Spark-side verify hardcodes the 0.4 / 0.4-1e-6 literals inside
-    dedup._exact_pairs_block, and the dedup_embedding oracles carry
-    their own `cos_sim >= 0.4`. Editing any one of them silently
-    desynchronizes oracle and implementation until the next driver
-    row — this test reds immediately instead."""
+    """ADVICE r6 #1, closed by the r8 batch: the cosine near-dup
+    threshold is single-sourced as dedup.COSINE_T — the Spark verify
+    (_exact_pairs_block) references the constant, features imports it
+    (never redeclares), and every oracle interpolates it. The source
+    scan guards against a literal creeping back into the verify."""
     import inspect
     import re
 
     from parquet_to_hyper_app_spark.operators.llm import dedup, features
     from parquet_to_hyper_app_spark.registry import load_all
 
-    t = features._SEMDEDUP_T
+    t = dedup.COSINE_T
+    assert features._SEMDEDUP_T is t
     src = inspect.getsource(dedup._exact_pairs_block)
-    prefilter = re.search(r"sims >= ([0-9.]+) - 1e-6", src)
-    cut = re.search(r"cos >= ([0-9.]+)", src)
-    assert prefilter and float(prefilter.group(1)) == t, src
-    assert cut and float(cut.group(1)) == t, src
-    for key in ("dedup_embedding", "dedup_semantic"):
+    assert "COSINE_T - 1e-6" in src and "cos >= COSINE_T" in src, src
+    assert not re.search(r"(sims|cos) >= [0-9]", src), src
+    for key in ("dedup_embedding", "dedup_embedding_lsh", "dedup_semantic"):
         oracle = load_all()[key].oracle
         hits = re.findall(r">= ?([0-9.]+)\b", oracle)
         assert str(t) in hits, (key, hits)
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="ADVICE r6 #4 (queued for the r8 batch, docs/ROUND8_PLAN.md): "
-    "a ragged embedding column kills dedup_semantic with a np.stack "
-    "ValueError inside applyInPandas instead of degrading; the fix pins "
-    "uniform dimensionality upstream like the oracle's __p CTE",
-)
 def test_dedup_semantic_survives_ragged_embeddings(spark, tmp_path):
+    """ADVICE r6 #4, closed by the r8 batch (was a strict xfail): a
+    ragged shorter vector is EXCLUDED by the shared quantizer (corpus
+    max dimensionality, both engines) instead of crashing np.stack
+    inside applyInPandas — and instead of silently NULL-poisoning the
+    Spark assignment fold while DuckDB's list ops skip the missing
+    tail."""
     from parquet_to_hyper_app_spark.operators.llm.features import dedup_semantic
 
     rows = [
@@ -100,5 +96,7 @@ def test_dedup_semantic_survives_ragged_embeddings(spark, tmp_path):
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
-    # must not raise; the ragged row is excluded like NULL/empty vectors
-    dedup_semantic(spark, str(tmp_path)).count()
+    out = dedup_semantic(spark, str(tmp_path))
+    ids = {r.vec_id for r in out.collect()}
+    # the ragged vector is out of scope; every uniform vector is scored
+    assert 6 not in ids and len(ids) == 39
