@@ -52,8 +52,9 @@ def test_containment_single_token_semantics(spark, tmp_path):
     }
     # identical single-token docs: containment 1.0 both directions
     assert pairs.get((1, 2)) == 1.0 and pairs.get((2, 1)) == 1.0
-    # distinct single-token docs never pair (distinct pseudo-bigrams)
-    assert not any({a, b} & {3, 4} for (a, b) in pairs if (a, b) != (3, 4))
+    # distinct single-token docs never pair (distinct pseudo-bigrams),
+    # in either direction — no exemptions (ADVICE r7)
+    assert not any({a, b} & {3, 4} for (a, b) in pairs)
 
 
 def test_semdedup_threshold_stays_synchronized():
