@@ -37,7 +37,10 @@ from parquet_to_hyper_app_spark.functions.crosshash import (
     rademacher_entry,
     rel_margin,
 )
-from parquet_to_hyper_app_spark.operators.llm.similarity import valid_vectors
+from parquet_to_hyper_app_spark.operators.llm.similarity import (
+    UNIFORM_VEC_CTES,
+    uniform_vectors_for,
+)
 from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
@@ -827,17 +830,14 @@ COSINE_T = 0.4
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
-    ),
+    WITH {UNIFORM_VEC_CTES},
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_sum(list_transform(range(1, len(a.e) + 1),
                         i -> a.e[i] * b.e[i]))
                / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                   * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        FROM __v a JOIN __v b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {COSINE_T}
     """,
@@ -877,9 +877,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     #: group count ≈ n/2048 · B/2 tasks with bounded memory each
     nblocks = max(2, math.ceil(math.sqrt(n / 2048.0)) * 2)
 
-    emb = valid_vectors(
-        load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "embedding")
+    emb = uniform_vectors_for(spark, sf_dir).select("vec_id", "embedding")
     blk = F.pmod(F.col("vec_id"), F.lit(nblocks)).cast("int")
     a_side = emb.select(
         "vec_id",
@@ -1035,12 +1033,11 @@ def _emb_lsh_oracle() -> str:
     """
     h60 = _HASH60_DUCK.format(col="'emb-plane-' || p.t || '-' || p.b || '-' || (d - 1)")
     return f"""
-    WITH __p AS (
-        SELECT count(*) AS n, max(len(embedding)) AS dim FROM embeddings
-    ),
+    WITH {UNIFORM_VEC_CTES},
+    __n AS (SELECT count(*) AS n FROM embeddings),
     __bits AS (
         SELECT CAST(min(k) AS INT) AS bits
-        FROM range(4, 41) t(k), __p
+        FROM range(4, 41) t(k), __n
         WHERE (1::BIGINT << k) * {_EMB_LSH_BUCKET_ROWS} >= n
     ),
     __planes AS (
@@ -1051,10 +1048,6 @@ def _emb_lsh_oracle() -> str:
         FROM (SELECT tt.t, bb.b FROM range(0, {_EMB_LSH_TABLES}) tt(t),
                                      range(0, 40) bb(b), __bits
               WHERE bb.b < bits) p, __p
-    ),
-    __v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     __bitvals AS (
         SELECT v.vec_id, p.t,
@@ -1130,7 +1123,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dim_for,
     )
 
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    emb = uniform_vectors_for(spark, sf_dir)
     dim = embedding_dim_for(spark, sf_dir)
     bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
     # (L·bits) × dim ±1 plane matrix — md5-derived, shared with the oracle

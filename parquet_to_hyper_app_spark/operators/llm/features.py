@@ -21,10 +21,11 @@ from parquet_to_hyper_app_spark.functions.crosshash import rel_margin
 from parquet_to_hyper_app_spark.operators.llm.similarity import (
     _N_QUERIES,
     _TOP_K,
+    UNIFORM_VEC_CTES,
     ann_audit_gate_sql,
     bucket_topk,
     enforce_recall_floor,
-    valid_vectors,
+    uniform_vectors_for,
     with_recall_audit,
 )
 from parquet_to_hyper_app_spark.functions.crosshash import WS
@@ -295,12 +296,7 @@ def _km_assign_ctes() -> str:
     never drift between the two."""
     iterations = ",\n    ".join(_km_iteration_sql(r + 1) for r in range(_KM_ITERS))
     last = f"__c{_KM_ITERS}"
-    return f"""__p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
-    __v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings, __p
-        WHERE embedding IS NOT NULL AND len(embedding) = dim
-    ),
+    return f"""{UNIFORM_VEC_CTES},
     __s AS (SELECT vec_id, e FROM __v ORDER BY vec_id LIMIT {_KM_SAMPLE}),
     __c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
@@ -336,12 +332,11 @@ def _km_trained_assignment(spark: SparkSession, sf_dir: str):
     assignment fold while DuckDB's list ops skipped the missing tail:
     exclusion on BOTH engines (here ↔ the oracle's `len(embedding) =
     dim` against __p) is the only ragged contract the two engines can
-    agree on. Mirrors valid_vectors' NULL/empty exclusion one level up.
+    agree on. Round 8 promoted the recipe family-wide: the filter is
+    `similarity.uniform_vectors` ↔ `UNIFORM_VEC_CTES`, shared by every
+    search/near-dup consumer of the embeddings table.
     """
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
-    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
-    if dim is not None:
-        emb = emb.filter(F.size("embedding") == dim)
+    emb = uniform_vectors_for(spark, sf_dir)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )

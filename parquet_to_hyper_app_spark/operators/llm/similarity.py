@@ -47,6 +47,53 @@ def valid_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
 
 
+#: the ONE ragged-vector contract, family-wide (round 8, extending the
+#: r8-batch quantizer fix to every search/near-dup consumer): the
+#: domain of cosine search and near-dup mining is vectors of the
+#: CORPUS dimensionality — max length over defined embeddings. A
+#: ragged shorter vector has no defined cosine against the corpus:
+#: Spark's zip_with NULL-poisons the fold while DuckDB's list ops
+#: silently skip the missing tail (engine-divergent), and np.stack
+#: inside the pandas-UDF paths crashes outright. Exclusion on BOTH
+#: engines is the only contract the engines can agree on. Profiling
+#: ops (array_ops, embedding_quantize, sql_explode) deliberately stay
+#: per-row and keep ragged rows.
+#: The oracle prefix below is the DuckDB mirror of `uniform_vectors`:
+#: every embedding-family oracle composes its __v from it. The
+#: `len(embedding) > 0` term keeps the all-empty-corpus edge aligned
+#: (max(len)=0 would otherwise admit empty lists that the Spark side's
+#: valid_vectors prefilter excludes).
+UNIFORM_VEC_CTES = """__p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+    __v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings, __p
+        WHERE embedding IS NOT NULL AND len(embedding) = dim
+              AND len(embedding) > 0
+    )"""
+
+
+def corpus_dim(emb: DataFrame) -> int | None:
+    """Corpus dimensionality: max length over defined embeddings (one
+    tiny agg job); None when the table has no well-defined vector."""
+    row = valid_vectors(emb).agg(F.max(F.size("embedding")).alias("d")).first()
+    return None if row is None or row["d"] is None else int(row["d"])
+
+
+def uniform_vectors(emb: DataFrame, dim: int | None = None) -> DataFrame:
+    """Rows whose embedding is defined AND of the corpus
+    dimensionality — the Spark mirror of `UNIFORM_VEC_CTES`' __v.
+
+    Operators should prefer `uniform_vectors_for` (below): computing
+    dim here costs a max-agg pass over the embedding column — trivial
+    at test scale, but at 100 TB that column IS the table, so the
+    lookup must be cached per directory, not re-run per invocation."""
+    if dim is None:
+        dim = corpus_dim(emb)
+    if dim is None:  # no well-defined vectors: the valid filter is already empty
+        return valid_vectors(emb)
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = _TOP_K
 ) -> DataFrame:
@@ -73,16 +120,13 @@ def brute_force_topk(
 @query(
     "similarity_topk",
     oracle=f"""
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
-    ),
+    WITH {UNIFORM_VEC_CTES},
     scored AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
                list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
                / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
                   * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos_sim
-        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        FROM __v q JOIN __v c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < {_N_QUERIES}
     )
     SELECT q_id, neighbor_id, cos_sim, rank FROM (
@@ -95,20 +139,23 @@ def brute_force_topk(
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S32: exact cosine top-3 neighbors for query vectors vec_id<10."""
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    emb = uniform_vectors_for(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = brute_force_topk(emb, queries)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def embedding_dim(emb: DataFrame) -> int:
-    """Actual embedding dimensionality (one-row lookup). Hardcoding a
-    dim that mismatches the data would NULL every hyperplane dot
-    product and silently collapse all vectors into one bucket."""
-    row = valid_vectors(emb).select(F.size("embedding").alias("d")).first()
-    if row is None or not row["d"]:
+    """Corpus embedding dimensionality (one tiny agg job). Hardcoding
+    a dim that mismatches the data would NULL every hyperplane dot
+    product and silently collapse all vectors into one bucket. Defined
+    as max(len) over valid vectors — `.first()` of an arbitrary row
+    would be NONDETERMINISTIC on a ragged corpus, and max is what the
+    oracles' __p derives (`UNIFORM_VEC_CTES`)."""
+    d = corpus_dim(emb)
+    if not d:
         raise ValueError("embeddings table has no well-defined vectors")
-    return int(row["d"])
+    return d
 
 
 #: sf_dir → dim / row count; the lookups are one tiny job each but
@@ -122,6 +169,24 @@ def embedding_dim_for(spark: SparkSession, sf_dir: str) -> int:
     if sf_dir not in _DIM_CACHE:
         _DIM_CACHE[sf_dir] = embedding_dim(load_table(spark, sf_dir, "embeddings"))
     return _DIM_CACHE[sf_dir]
+
+
+def uniform_vectors_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dimensionality vectors of a testdata directory — the
+    entry point every search/near-dup operator uses. The dim lookup
+    shares `_DIM_CACHE` with `embedding_dim_for`, so the max-agg pass
+    over the embedding column runs ONCE per directory per session, not
+    once per query invocation (at 100 TB the embedding column is the
+    table; an uncached lookup would double every search's scan cost).
+    A table with no well-defined vector returns the (empty) valid set
+    without caching, preserving the graceful-empty contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _DIM_CACHE:
+        d = corpus_dim(emb)
+        if d is None:
+            return valid_vectors(emb)
+        _DIM_CACHE[sf_dir] = d
+    return uniform_vectors(emb, _DIM_CACHE[sf_dir])
 
 
 def embedding_count_for(spark: SparkSession, sf_dir: str) -> int:
@@ -303,17 +368,13 @@ def _ivf_oracle() -> str:
         ["q.bucket"] + [f"xor(q.bucket, {1 << i})" for i in range(_IVF_BITS)]
     )
     return f"""
-    WITH __p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+    WITH {UNIFORM_VEC_CTES},
     __planes AS (
         SELECT p.b,
                list_transform(range(1, dim + 1), d ->
                  CASE WHEN ({h60} & 1) = 1
                       THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS r
         FROM range(0, {_IVF_BITS}) p(b), __p
-    ),
-    __v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     __bkt AS (
         SELECT v.vec_id,
@@ -367,7 +428,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     round()-exact hit count — so `_ivf_oracle()` reproduces the
     entire search+audit+gate pipeline and the driver value-hashes it.
     """
-    emb = valid_vectors(load_table(spark, sf_dir, "embeddings"))
+    emb = uniform_vectors_for(spark, sf_dir)
     bits = _IVF_BITS
     planes = _ivf_planes(embedding_dim_for(spark, sf_dir))
     v = emb.select(

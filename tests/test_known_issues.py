@@ -101,3 +101,40 @@ def test_dedup_semantic_survives_ragged_embeddings(spark, tmp_path):
     ids = {r.vec_id for r in out.collect()}
     # the ragged vector is out of scope; every uniform vector is scored
     assert 6 not in ids and len(ids) == 39
+
+
+def test_embedding_family_survives_ragged_embeddings(spark, tmp_path):
+    """Round-8 family-wide ragged contract (queued in
+    docs/ROUND8_PLAN.md 'Not in the batch'): every search/near-dup
+    consumer of the embeddings table — not just the KMeans quantizer —
+    excludes non-corpus-dimensionality vectors via
+    `similarity.uniform_vectors` ↔ `UNIFORM_VEC_CTES` instead of
+    crashing np.stack (block/bucket pandas UDFs) or silently
+    NULL-poisoning JVM folds. The ragged vector is a truncation of a
+    vector that WOULD pair / rank were it uniform."""
+    from parquet_to_hyper_app_spark.operators.llm.dedup import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+    from parquet_to_hyper_app_spark.operators.llm.similarity import (
+        similarity_ivf,
+        similarity_topk,
+    )
+
+    rng = np.random.default_rng(8)
+    vecs = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(40)]
+    vecs[1] = vecs[0]  # exact duplicate: the miners must emit (1, 2)
+    vecs[5] = vecs[0][:7]  # ragged truncation of the duplicated vector
+    spark.createDataFrame(
+        [(i + 1, v, i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    for op in (dedup_embedding, dedup_embedding_lsh):
+        pairs = op(spark, str(tmp_path)).collect()
+        assert (1, 2) in {(r.vec_a, r.vec_b) for r in pairs}, op.__name__
+        assert all(6 not in (r.vec_a, r.vec_b) for r in pairs), op.__name__
+    for op in (similarity_topk, similarity_ivf):
+        out = op(spark, str(tmp_path)).collect()
+        assert out, op.__name__
+        assert all(6 != r.q_id and 6 != r.neighbor_id for r in out), op.__name__

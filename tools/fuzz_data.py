@@ -400,6 +400,16 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
         # profiling ops — review r5
         rows[7] = None
         rows[8] = []
+        # ragged SHORTER vector (dim−1): the round-8 family-wide
+        # uniform-dimensionality contract — cosine against the corpus
+        # is engine-divergent for it (Spark zip_with NULL-poisons the
+        # fold, DuckDB list ops skip the missing tail) and np.stack in
+        # the pandas-UDF paths crashes, so every search/near-dup
+        # operator excludes it on BOTH engines (uniform_vectors ↔
+        # UNIFORM_VEC_CTES). Per-row profiling ops (array_ops,
+        # embedding_quantize, sql_explode) keep it and must agree
+        # per-row.
+        rows[10] = rows[10][: dim - 1]
     return pa.table(
         {
             "vec_id": pa.array(range(1, n + 1), pa.int64()),
