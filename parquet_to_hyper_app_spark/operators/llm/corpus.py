@@ -28,6 +28,7 @@ from parquet_to_hyper_app_spark.operators.llm.dedup import (
     NGRAM_PAIRS_ORACLE_TMPL,
     bigram_hash_frame,
     connected_components,
+    miner_partitions,
     ngram_jaccard_pairs,
 )
 from parquet_to_hyper_app_spark.operators.llm.text import (
@@ -715,17 +716,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of SOURCE PREFIXES against the FULL (lang, bigram)
     index of targets — containment puts no size bound on the target,
     so the target side cannot be prefix-pruned, and that full index
-    is exactly one explode of corpus gram volume. The exact verify
-    intersects per-doc int64 hash arrays; the exhaustive within-lang
-    oracle proves the prefix filter lossless.
+    is exactly one explode of corpus gram volume. The exhaustive
+    within-lang oracle proves the prefix filter lossless.
+
+    Verify (r9, byte-side redesign): |src ∩ dst| comes from a
+    gram-level co-occurrence COUNT — explode both sides to
+    (doc, lang, gram-hash) rows, equi-join on (lang, hash), map-side
+    partial-count per ordered (src, dst) — joined to the candidate
+    pairs and divided by n_src (integer-exact cross-engine). The r8
+    array-carrying verify (re-joining both full int64 hash arrays,
+    ~KB/row, onto every candidate pair before array_intersect) was
+    the repo's one MEASURED super-linear scale wall: candidate COUNTS
+    stay exactly linear at x64, but the verify bytes — a
+    multi-hundred-GB shuffle at 105M pairs — saturate a single JVM
+    between x32 and x64 even at parts=256 (docs/SCALE.md, "Round-8
+    x64 stress: chasing the containment wall"). The count join moves
+    24-byte rows instead.
 
     At 100 TB: candidate volume is Σ_src prefix_len · df(gram) —
-    dominated by rare grams exactly like the Jaccard path; the
-    quadratic regime appears only when one gram is near-universal
-    within a language, which the df-ascending prefix ranking pushes
-    out of every prefix. One shuffle each for df counts, prefix rank,
-    candidate join, and verify — all on keys that scale with corpus
-    volume, never pairs²."""
+    dominated by rare grams exactly like the Jaccard path — and the
+    co-occurrence stream is Σ_g df(g)² rows BEFORE the map-side
+    combine. That square is benign on bounded-df vocabularies
+    (measured at sf0.1: Σdf² = 19.0M, max df 152 — ~8× the candidate
+    rows at ~40× fewer bytes each) but explodes on a power-law real
+    corpus where stopword bigrams have df in the millions; there the
+    deployment-grade form is the df-CAPPED hybrid — count-join for
+    grams with df ≤ cap, array verify only for the rare pairs whose
+    overlap budget needs the high-df remainder — deliberately NOT
+    built for this bounded-df probe corpus (measure the df
+    distribution first, as r8 did, before paying that complexity).
+    Shuffle keys (df counts, prefix rank, candidate join, co-occur
+    count) all scale with corpus gram volume; the pair-row COUNTS are
+    linear, and after r9 the verify BYTES are too."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -757,29 +779,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never contain it, so the pair dies inside the join before
         # the distinct/verify stages materialize it
         .filter((F.col("src") != F.col("dst")) & (F.col("nd") >= F.ceil(F.col("ns") * F.lit(_CONTAIN_T))))
-        .select("src", "dst")
+        .select("src", "dst", "ns")
     )
-    # pair dedup at a PINNED partition width, not .distinct(): the
-    # candidate rows are tiny in bytes, and AQE's size-based coalescing
-    # would squeeze the downstream CPU-bound array_intersect verify
-    # onto a handful of cores — the same trap ngram_jaccard_pairs
-    # measured and engineered around (review r6)
-    try:
-        n_parts = int(cands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" on AQE-auto deployments
-        n_parts = cands.sparkSession.sparkContext.defaultParallelism
-    cands = cands.repartition(n_parts, "src", "dst").dropDuplicates()
-    a = grams.select(
-        F.col("doc_id").alias("src"), F.col("hashes").alias("ha"), F.col("n").alias("na")
-    )
-    b = grams.select(F.col("doc_id").alias("dst"), F.col("hashes").alias("hb"))
-    contain = (
-        F.size(F.array_intersect("ha", "hb")).cast("double") / F.col("na")
+    # pair dedup at a PINNED, INPUT-SCALED partition width, not
+    # .distinct(): the candidate rows are tiny in bytes and AQE's
+    # size-based coalescing — blind to the downstream verify join —
+    # would squeeze it onto a handful of cores (the trap
+    # ngram_jaccard_pairs measured, review r6); the width itself
+    # scales with gram volume (miner_partitions, r9) because the
+    # session conf is sized for the bench SF and was measured
+    # spilling one doubling past it. ns rides along (functionally
+    # dependent on src) so the verify needs no extra n_src join.
+    cands = cands.repartition(
+        miner_partitions(grams), "src", "dst"
+    ).dropDuplicates(["src", "dst"])
+    # gram-level co-occurrence count: |src ∩ dst| as count(*) over the
+    # (lang, hash) equi-join of the exploded distinct-gram index with
+    # itself — 24-byte rows with a map-side partial count, replacing
+    # the r8 array-carrying verify (the measured x64 byte wall; see
+    # docstring). Candidates inner-join losslessly: every candidate
+    # shares ≥1 gram by construction, so it appears in the count.
+    cooc = (
+        occ.select(F.col("doc_id").alias("src"), "lang", "h")
+        .join(occ.select(F.col("doc_id").alias("dst"), "lang", "h"), ["lang", "h"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        cands.join(a, "src")
-        .join(b, "dst")
-        .withColumn("containment", contain)
+        cands.join(cooc, ["src", "dst"])
+        .withColumn(
+            "containment", F.col("common").cast("double") / F.col("ns")
+        )
         .filter(F.col("containment") >= _CONTAIN_T)
         .select(
             F.col("src").alias("doc_src"),

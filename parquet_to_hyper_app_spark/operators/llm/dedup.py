@@ -522,6 +522,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+#: miner pair-shuffle sizing: target exploded-gram rows per partition.
+#: Chosen so sf0.1 (≈256k gram occurrences) derives below the session
+#: default (the conf wins — the bench constant is untouched) while the
+#: r8 x64 stress volume (≈16.4M occurrences) derives 512 — the regime
+#: where the fixed sf0.1-sized width was measured to spill
+#: (docs/SCALE.md "Round-8 x64 stress": jaccard 6.4×/doubling at
+#: parts=32 vs a clean 2.1× at parts=256).
+_MINER_ROWS_PER_PART = 32_768
+#: backstop against a pathological stats blow-up, not a tuning knob —
+#: 4096 × 32k rows ≈ 134M gram occurrences per derivation step covers
+#: any single-box volume; a real cluster raises shuffle.partitions
+_MINER_MAX_PARTS = 4096
+
+
+def miner_partitions(grams: DataFrame) -> int:
+    """Input-scaled partition width for the miner family's pinned pair
+    shuffles: max(session shuffle.partitions, gram volume / 32k),
+    capped. The r8 x64 stress showed the fixed session width is
+    harness sizing that stops holding one doubling past what it was
+    tuned for — AQE coalesces small partitions down but never splits
+    big ones up, so when the input outgrows the conf the pinned
+    repartition sites must widen WITH the input, in code, not a flag.
+
+    `grams` must be the persisted `bigram_hash_frame`: the sum(n) agg
+    is one tiny job that also materializes the cache every caller's
+    first real job would have built anyway, so at x1 the derivation is
+    ~free (A/B-gated r9). The single-row `.first()` is bounded and
+    deliberate — same class as the KMeans sample collect
+    (features.py), not a driver-side data loop."""
+    spark = grams.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on AQE-auto deployments (review r5)
+        conf_parts = spark.sparkContext.defaultParallelism
+    row = grams.agg(F.sum("n")).first()
+    occ_rows = int(row[0] or 0)
+    derived = -(-occ_rows // _MINER_ROWS_PER_PART)  # ceil div
+    return max(conf_parts, min(_MINER_MAX_PARTS, derived))
+
+
 def bigram_hash_frame(docs: DataFrame) -> DataFrame:
     """The canonical (doc_id, lang, hashes, n) frame — distinct word
     bigrams of each non-blank doc as int64 xxhash64 values — the Spark
@@ -666,13 +706,13 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # exchange (the explicit hash partitioning satisfies the dedup
     # aggregate's distribution requirement), and a user-specified
     # partition count is exempt from AQE coalescing, so the verify
-    # inherits full width. At cluster scale P = shuffle.partitions is
-    # operator-sized and candidate volume makes coalescing moot.
-    try:
-        n_parts = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" on AQE-auto deployments (review r5)
-        n_parts = cand.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(n_parts, "id_a", "id_b").dropDuplicates()
+    # inherits full width. The width itself is INPUT-SCALED
+    # (miner_partitions, r9): the session conf is sized for the bench
+    # SF, and the r8 x64 stress measured it spilling one doubling past
+    # that (6.4×/doubling at parts=32 vs 2.1× at parts=256).
+    cand = cand.repartition(
+        miner_partitions(grams), "id_a", "id_b"
+    ).dropDuplicates()
     va = grams.select(
         F.col("doc_id").alias("id_a"), F.col("hashes").alias("h_a"), F.col("n").alias("n_a")
     )

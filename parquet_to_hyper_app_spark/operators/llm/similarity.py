@@ -74,23 +74,24 @@ UNIFORM_VEC_CTES = """__p AS (SELECT max(len(embedding)) AS dim FROM embeddings)
 
 def corpus_dim(emb: DataFrame) -> int | None:
     """Corpus dimensionality: max length over defined embeddings (one
-    tiny agg job); None when the table has no well-defined vector."""
+    tiny agg job); None when the table has no well-defined vector.
+    max(len) is what the oracles' __p derives (`UNIFORM_VEC_CTES`);
+    `.first()` of an arbitrary row would be NONDETERMINISTIC on a
+    ragged corpus, and a hardcoded mismatched dim would NULL every
+    hyperplane dot product and collapse all vectors into one bucket."""
     row = valid_vectors(emb).agg(F.max(F.size("embedding")).alias("d")).first()
     return None if row is None or row["d"] is None else int(row["d"])
 
 
-def uniform_vectors(emb: DataFrame, dim: int | None = None) -> DataFrame:
+def uniform_vectors(emb: DataFrame, dim: int) -> DataFrame:
     """Rows whose embedding is defined AND of the corpus
     dimensionality — the Spark mirror of `UNIFORM_VEC_CTES`' __v.
 
-    Operators should prefer `uniform_vectors_for` (below): computing
-    dim here costs a max-agg pass over the embedding column — trivial
-    at test scale, but at 100 TB that column IS the table, so the
-    lookup must be cached per directory, not re-run per invocation."""
-    if dim is None:
-        dim = corpus_dim(emb)
-    if dim is None:  # no well-defined vectors: the valid filter is already empty
-        return valid_vectors(emb)
+    `dim` is required: the only dim-resolution path is
+    `corpus_dim_for` (cached, None-aware), so the ragged contract has
+    exactly one place where "no well-defined vector" is decided —
+    an Optional default here duplicated that logic uncached and was
+    never called (ADVICE r8). Operators use `uniform_vectors_for`."""
     return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
 
 
@@ -145,48 +146,46 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def embedding_dim(emb: DataFrame) -> int:
-    """Corpus embedding dimensionality (one tiny agg job). Hardcoding
-    a dim that mismatches the data would NULL every hyperplane dot
-    product and silently collapse all vectors into one bucket. Defined
-    as max(len) over valid vectors — `.first()` of an arbitrary row
-    would be NONDETERMINISTIC on a ragged corpus, and max is what the
-    oracles' __p derives (`UNIFORM_VEC_CTES`)."""
-    d = corpus_dim(emb)
-    if not d:
-        raise ValueError("embeddings table has no well-defined vectors")
-    return d
-
-
 #: sf_dir → dim / row count; the lookups are one tiny job each but
-#: every LSH/IVF query would otherwise re-run them per invocation
-_DIM_CACHE: dict[str, int] = {}
+#: every LSH/IVF query would otherwise re-run them per invocation.
+#: _DIM_CACHE stores None too — the degenerate no-well-defined-vector
+#: answer costs the same max-agg scan as a real dim, so leaving it
+#: uncached re-ran that scan per invocation (ADVICE r8).
+_DIM_CACHE: dict[str, int | None] = {}
 _COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_dim_for(spark: SparkSession, sf_dir: str) -> int | None:
+    """Cached corpus dimensionality of a testdata directory — the
+    SINGLE dim-resolution path for the embedding family (the max-agg
+    pass over the embedding column runs once per directory per
+    session; at 100 TB that column IS the table, so an uncached
+    lookup would double every search's scan cost). None (table has no
+    well-defined vector) is cached like any other answer."""
+    if sf_dir not in _DIM_CACHE:
+        _DIM_CACHE[sf_dir] = corpus_dim(load_table(spark, sf_dir, "embeddings"))
+    return _DIM_CACHE[sf_dir]
 
 
 def embedding_dim_for(spark: SparkSession, sf_dir: str) -> int:
     """Cached embedding dimensionality of a testdata directory."""
-    if sf_dir not in _DIM_CACHE:
-        _DIM_CACHE[sf_dir] = embedding_dim(load_table(spark, sf_dir, "embeddings"))
-    return _DIM_CACHE[sf_dir]
+    d = corpus_dim_for(spark, sf_dir)
+    if d is None:
+        raise ValueError("embeddings table has no well-defined vectors")
+    return d
 
 
 def uniform_vectors_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-dimensionality vectors of a testdata directory — the
-    entry point every search/near-dup operator uses. The dim lookup
-    shares `_DIM_CACHE` with `embedding_dim_for`, so the max-agg pass
-    over the embedding column runs ONCE per directory per session, not
-    once per query invocation (at 100 TB the embedding column is the
-    table; an uncached lookup would double every search's scan cost).
-    A table with no well-defined vector returns the (empty) valid set
-    without caching, preserving the graceful-empty contract."""
+    entry point every search/near-dup operator uses. Dim resolution
+    (including the degenerate None) goes through `corpus_dim_for`'s
+    cache. A table with no well-defined vector returns the (empty)
+    valid set, preserving the graceful-empty contract."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _DIM_CACHE:
-        d = corpus_dim(emb)
-        if d is None:
-            return valid_vectors(emb)
-        _DIM_CACHE[sf_dir] = d
-    return uniform_vectors(emb, _DIM_CACHE[sf_dir])
+    d = corpus_dim_for(spark, sf_dir)
+    if d is None:
+        return valid_vectors(emb)
+    return uniform_vectors(emb, d)
 
 
 def embedding_count_for(spark: SparkSession, sf_dir: str) -> int:

@@ -56,7 +56,12 @@ spark.stop()
 
 
 def run_batch(checkout: str, keys: list[str], sf_dir: str, reps: int) -> dict:
-    env = dict(os.environ, PYTHONPATH=checkout)
+    # prepend, don't replace: a clobbered PYTHONPATH silently drops
+    # dependency paths on environments that rely on it (ADVICE r8)
+    prior = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, PYTHONPATH=checkout + (os.pathsep + prior if prior else "")
+    )
     proc = subprocess.run(
         [sys.executable, "-c", _BATCH_SRC, checkout, json.dumps(keys), sf_dir, str(reps)],
         capture_output=True,

@@ -380,6 +380,13 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
+        # the plants below index rows[5..10] and the dim−1 ragged row
+        # needs dim ≥ 2 to stay distinct from the empty-vector plant
+        # (rows[8]); a smaller panel would silently fuzz a DIFFERENT
+        # contract — fail loudly instead (ADVICE r8)
+        assert n > 10 and dim >= 2, (
+            f"dirty embeddings panel needs n > 10 and dim >= 2, got n={n} dim={dim}"
+        )
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
         # sequential-fold float error grows to ~1e2 absolute — pins the
