@@ -789,25 +789,53 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with gram volume (miner_partitions, r9) because the
     # session conf is sized for the bench SF and was measured
     # spilling one doubling past it. ns rides along (functionally
-    # dependent on src) so the verify needs no extra n_src join.
-    cands = cands.repartition(
-        miner_partitions(grams), "src", "dst"
-    ).dropDuplicates(["src", "dst"])
+    # dependent on src) so the verify needs no extra n_src join. The
+    # dedup partitions on the UNORDERED key (least, greatest) that the
+    # verify join below probes on, and dedups on (pl, pg, src) — a
+    # bijection of (src, dst) given src ≠ dst — rather than (src, dst)
+    # itself: Catalyst can't prove pl/pg are functions of src/dst, so
+    # a (src, dst) dedup over (pl, pg) partitioning would insert a
+    # second exchange at conf width and lose the pinned width; the
+    # prefix-keyed dedup reuses the one exchange as-is.
+    n_parts = miner_partitions(grams)
+    pl, pg = F.least("src", "dst").alias("pl"), F.greatest("src", "dst").alias("pg")
+    cands = (
+        cands.select("src", "dst", "ns", pl, pg)
+        .repartition(n_parts, "pl", "pg")
+        .dropDuplicates(["pl", "pg", "src"])
+    )
     # gram-level co-occurrence count: |src ∩ dst| as count(*) over the
     # (lang, hash) equi-join of the exploded distinct-gram index with
     # itself — 24-byte rows with a map-side partial count, replacing
     # the r8 array-carrying verify (the measured x64 byte wall; see
-    # docstring). Candidates inner-join losslessly: every candidate
-    # shares ≥1 gram by construction, so it appears in the count.
+    # docstring). Counted once per UNORDERED pair (a < b): overlap is
+    # symmetric and both orientations of a candidate probe the same
+    # count — half the join output and half the aggregation keys of
+    # the ordered form. Candidates inner-join losslessly: every
+    # candidate shares ≥1 gram by construction, so its pair appears.
+    # BOTH join inputs are repartitioned to the miner width on the
+    # join key: the cached grams frame carries the parquet scan's
+    # partitioning (ONE partition at bench SF), and without the
+    # explicit exchange Spark broadcast-joins the small side and runs
+    # the whole Σdf²-row stream + partial count on that one core —
+    # measured 13.6s vs 1.7s at sf0.1 (r9 A/B). Co-partitioning both
+    # sides at the same width is the exchange an SMJ would need
+    # anyway; this just pins its width to the input scale.
     cooc = (
-        occ.select(F.col("doc_id").alias("src"), "lang", "h")
-        .join(occ.select(F.col("doc_id").alias("dst"), "lang", "h"), ["lang", "h"])
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+        occ.select(F.col("doc_id").alias("pl"), "lang", "h")
+        .repartition(n_parts, "lang", "h")
+        .join(
+            occ.select(F.col("doc_id").alias("pg"), "lang", "h").repartition(
+                n_parts, "lang", "h"
+            ),
+            ["lang", "h"],
+        )
+        .filter(F.col("pl") < F.col("pg"))
+        .groupBy("pl", "pg")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        cands.join(cooc, ["src", "dst"])
+        cands.join(cooc, ["pl", "pg"])
         .withColumn(
             "containment", F.col("common").cast("double") / F.col("ns")
         )

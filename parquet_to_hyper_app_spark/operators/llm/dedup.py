@@ -25,6 +25,7 @@ rows-only "seeded hashes differ across engines" waiver.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -522,43 +523,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-#: miner pair-shuffle sizing: target exploded-gram rows per partition.
-#: Chosen so sf0.1 (≈256k gram occurrences) derives below the session
-#: default (the conf wins — the bench constant is untouched) while the
-#: r8 x64 stress volume (≈16.4M occurrences) derives 512 — the regime
-#: where the fixed sf0.1-sized width was measured to spill
-#: (docs/SCALE.md "Round-8 x64 stress": jaccard 6.4×/doubling at
-#: parts=32 vs a clean 2.1× at parts=256).
-_MINER_ROWS_PER_PART = 32_768
-#: backstop against a pathological stats blow-up, not a tuning knob —
-#: 4096 × 32k rows ≈ 134M gram occurrences per derivation step covers
-#: any single-box volume; a real cluster raises shuffle.partitions
+#: miner pair-shuffle sizing: target SCAN BYTES per shuffle partition.
+#: Calibrated on the corpus ratio 594 KB of documents.parquet ↔ 256k
+#: exploded gram occurrences at sf0.1 (≈32k occurrences per 64 KB), so
+#: sf0.1 derives ~10 and the session default wins (the bench constant
+#: is untouched) while the r8 x64 stress volume (≈38 MB, 16.4M
+#: occurrences) derives ~580 — the regime where the fixed sf0.1-sized
+#: width was measured to spill (docs/SCALE.md "Round-8 x64 stress":
+#: jaccard 6.4×/doubling at parts=32 vs a clean 2.1× at parts=256).
+#: A heuristic floor-raiser, not a planner: compression ratios vary
+#: by corpus, but being 2-4× off on width is harmless — being 64×
+#: under (conf sized for the wrong SF) is the measured failure.
+_MINER_BYTES_PER_PART = 65_536
+#: backstop against a pathological size estimate, not a tuning knob;
+#: a real cluster raises shuffle.partitions instead
 _MINER_MAX_PARTS = 4096
 
 
-def miner_partitions(grams: DataFrame) -> int:
+def _scan_bytes(df: DataFrame) -> tuple[int, int]:
+    """(total bytes, file count) of the files feeding df's scan —
+    driver-side metadata only, NO Spark job. (0, 0) when unknown
+    (non-file source, unreadable path, non-local scheme)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0, 0
+    total = 0
+    for uri in files:
+        p = uri
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        elif p.startswith("file:"):
+            p = p[len("file:"):]
+        elif "://" in p:  # remote FS: size not stat-able from here
+            return 0, 0
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 0, 0
+    return total, len(files)
+
+
+def miner_partitions(docs: DataFrame) -> int:
     """Input-scaled partition width for the miner family's pinned pair
-    shuffles: max(session shuffle.partitions, gram volume / 32k),
+    shuffles: max(session shuffle.partitions, scan bytes / 64 KB),
     capped. The r8 x64 stress showed the fixed session width is
     harness sizing that stops holding one doubling past what it was
     tuned for — AQE coalesces small partitions down but never splits
     big ones up, so when the input outgrows the conf the pinned
     repartition sites must widen WITH the input, in code, not a flag.
 
-    `grams` must be the persisted `bigram_hash_frame`: the sum(n) agg
-    is one tiny job that also materializes the cache every caller's
-    first real job would have built anyway, so at x1 the derivation is
-    ~free (A/B-gated r9). The single-row `.first()` is bounded and
-    deliberate — same class as the KMeans sample collect
-    (features.py), not a driver-side data loop."""
-    spark = grams.sparkSession
+    Derived from file metadata (`_scan_bytes`), never a Spark job: the
+    r9 A/B measured a sum(n)-agg derivation costing ~0.2s of fixed x1
+    overhead per miner call — the exact constant the acceptance gate
+    protects. Unknown-size inputs fall back to the session conf."""
+    spark = docs.sparkSession
     try:
         conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except ValueError:  # e.g. "auto" on AQE-auto deployments (review r5)
         conf_parts = spark.sparkContext.defaultParallelism
-    row = grams.agg(F.sum("n")).first()
-    occ_rows = int(row[0] or 0)
-    derived = -(-occ_rows // _MINER_ROWS_PER_PART)  # ceil div
+    total, _ = _scan_bytes(docs)
+    derived = -(-total // _MINER_BYTES_PER_PART)  # ceil div
     return max(conf_parts, min(_MINER_MAX_PARTS, derived))
 
 
@@ -595,6 +620,29 @@ def bigram_hash_frame(docs: DataFrame) -> DataFrame:
       generation and per-pair verifies run on int64s; string bytes are
       never rescanned per pair (that rescan alone cost 97 s at sf0.1).
     """
+    # spread the tokenize: a bench-SF documents table is ONE parquet
+    # split, so the whole tokenize+distinct+hash pipeline — and every
+    # downstream read of the cached frame — would run on one core
+    # (measured 3.7s vs 0.8s at sf0.1, r9). Only widen when the scan
+    # is actually narrower than the cores: at real scale the scan is
+    # already wide and the raw-text shuffle would be pure waste. The
+    # scan-width estimate (files, plus maxPartitionBytes splits of
+    # big files) is driver-side metadata — a `.rdd.getNumPartitions()`
+    # probe costs a per-call plan→RDD conversion the r9 A/B could see.
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    total, nfiles = _scan_bytes(docs)
+    if nfiles:
+        try:
+            mpb = int(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+                .lower().removesuffix("b")
+            )
+        except ValueError:
+            mpb = 134_217_728
+        est_parts = max(nfiles, -(-total // mpb))
+        if est_parts < par:
+            docs = docs.repartition(par)
     toks = tokens(F.lower(F.col("text")))
     grams = docs.filter(F.col("text").rlike(r"\S")).withColumn("__toks", toks).select(
         "doc_id",
