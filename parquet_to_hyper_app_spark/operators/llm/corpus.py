@@ -30,6 +30,7 @@ from parquet_to_hyper_app_spark.operators.llm.dedup import (
     connected_components,
     miner_partitions,
     ngram_jaccard_pairs,
+    unordered_cooccurrence,
 )
 from parquet_to_hyper_app_spark.operators.llm.text import (
     QUALITY_MAX_CHARS,
@@ -804,36 +805,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "pl", "pg")
         .dropDuplicates(["pl", "pg", "src"])
     )
-    # gram-level co-occurrence count: |src ∩ dst| as count(*) over the
-    # (lang, hash) equi-join of the exploded distinct-gram index with
-    # itself — 24-byte rows with a map-side partial count, replacing
-    # the r8 array-carrying verify (the measured x64 byte wall; see
-    # docstring). Counted once per UNORDERED pair (a < b): overlap is
-    # symmetric and both orientations of a candidate probe the same
-    # count — half the join output and half the aggregation keys of
-    # the ordered form. Candidates inner-join losslessly: every
-    # candidate shares ≥1 gram by construction, so its pair appears.
-    # BOTH join inputs are repartitioned to the miner width on the
-    # join key: the cached grams frame carries the parquet scan's
-    # partitioning (ONE partition at bench SF), and without the
-    # explicit exchange Spark broadcast-joins the small side and runs
-    # the whole Σdf²-row stream + partial count on that one core —
-    # measured 13.6s vs 1.7s at sf0.1 (r9 A/B). Co-partitioning both
-    # sides at the same width is the exchange an SMJ would need
-    # anyway; this just pins its width to the input scale.
-    cooc = (
-        occ.select(F.col("doc_id").alias("pl"), "lang", "h")
-        .repartition(n_parts, "lang", "h")
-        .join(
-            occ.select(F.col("doc_id").alias("pg"), "lang", "h").repartition(
-                n_parts, "lang", "h"
-            ),
-            ["lang", "h"],
-        )
-        .filter(F.col("pl") < F.col("pg"))
-        .groupBy("pl", "pg")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # gram-level co-occurrence count verify (unordered_cooccurrence,
+    # shared with ngram_jaccard_pairs): |src ∩ dst| in 24-byte rows,
+    # replacing the r8 array-carrying verify (the measured x64 byte
+    # wall; see docstring). Candidates inner-join losslessly: every
+    # candidate shares ≥1 gram by construction, so its pair appears;
+    # both orientations of an ordered candidate probe the same
+    # unordered count.
+    cooc = unordered_cooccurrence(occ, n_parts)
     out = (
         cands.join(cooc, ["pl", "pg"])
         .withColumn(

@@ -509,9 +509,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidate volume tracks near-dup density, not block size² —
     plus a size-ratio ≤ 2 residual (J ≥ 0.5 forces it). The exact
     verify intersects per-doc int64 hash arrays (strings hashed once,
-    |A∪B| = n_a + n_b − |∩|). The oracle is the EXHAUSTIVE
-    within-language join, so the value-hash check proves the prefix
-    filter lossless, not merely self-consistent.
+    |A∪B| = n_a + n_b − |∩|) — MEASURED as the right verify for THIS
+    miner: converting it to the containment-style co-occurrence count
+    (r9) lost at every scale (x1 1.1–1.3×, x32 2.1×, x64 1.28×)
+    because J ≥ 0.5 prunes candidates ~30× below containment's, so
+    the per-pair array cost here is smaller than the global Σdf²
+    count stream that would replace it (docs/SCALE.md round-9). The
+    oracle is the EXHAUSTIVE within-language join, so the value-hash
+    check proves the prefix filter lossless, not merely
+    self-consistent.
 
     At 100 TB: document-frequency ranking is one explode + count +
     join (all bounded by corpus token volume); the candidate join's
@@ -585,6 +591,51 @@ def miner_partitions(docs: DataFrame) -> int:
     total, _ = _scan_bytes(docs)
     derived = -(-total // _MINER_BYTES_PER_PART)  # ceil div
     return max(conf_parts, min(_MINER_MAX_PARTS, derived))
+
+
+def unordered_cooccurrence(occ: DataFrame, n_parts: int) -> DataFrame:
+    """|A ∩ B| for every unordered doc pair sharing ≥1 distinct gram:
+    count(*) over the (lang, hash) equi-join of the exploded
+    distinct-gram index with itself, keyed (pl, pg) = (smaller id,
+    larger id). The verify core of the r9 byte-side redesign, used by
+    `corpus.dedup_containment`: 24-byte rows with a map-side partial
+    count instead of re-joining both full int64 hash arrays (~KB/row)
+    onto every candidate pair — the r8 x64 stress measured that array
+    shuffle as the repo's one super-linear scale wall (docs/SCALE.md
+    "chasing the containment wall"). Overlap is symmetric, so counting
+    unordered pairs halves both the join output and the aggregation
+    keys. It lives here next to the gram frame it consumes; the
+    Jaccard miner measured BETTER on its array verify (tiny candidate
+    set — see dedup_ngram_jaccard) and deliberately does not use it.
+
+    BOTH join inputs are repartitioned to the miner width on the join
+    key: the cached grams frame carries the parquet scan's
+    partitioning (ONE partition at bench SF), and without the explicit
+    exchange Spark broadcast-joins the small side and runs the whole
+    Σdf²-row stream + partial count on that one core — measured 13.6s
+    vs 1.7s at sf0.1 (r9 A/B). Co-partitioning both sides at the same
+    width is the exchange an SMJ would need anyway; this just pins its
+    width to the input scale.
+
+    Cost is Σ_g df(g)² rows before the combine — benign on bounded-df
+    vocabularies (sf0.1: Σdf² = 19.0M, max df 152), explosive on
+    power-law corpora where stopword grams have df in the millions;
+    there the deployment form is a df-capped hybrid (count-join for
+    df ≤ cap, array verify for the rare high-df remainder),
+    deliberately not built for this corpus."""
+    return (
+        occ.select(F.col("doc_id").alias("pl"), "lang", "h")
+        .repartition(n_parts, "lang", "h")
+        .join(
+            occ.select(F.col("doc_id").alias("pg"), "lang", "h").repartition(
+                n_parts, "lang", "h"
+            ),
+            ["lang", "h"],
+        )
+        .filter(F.col("pl") < F.col("pg"))
+        .groupBy("pl", "pg")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
 
 
 def bigram_hash_frame(docs: DataFrame) -> DataFrame:
@@ -761,6 +812,10 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     cand = cand.repartition(
         miner_partitions(grams), "id_a", "id_b"
     ).dropDuplicates()
+    # array verify, KEPT over the r9 co-occurrence count by
+    # measurement (see the dedup_ngram_jaccard docstring): this
+    # miner's candidate set is small enough that per-pair arrays beat
+    # the global count stream at every probed scale.
     va = grams.select(
         F.col("doc_id").alias("id_a"), F.col("hashes").alias("h_a"), F.col("n").alias("n_a")
     )
