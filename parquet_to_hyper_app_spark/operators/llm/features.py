@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -176,6 +177,30 @@ def _sql_double(x: float) -> str:
     return f"{x!r}D"
 
 
+def _exact_assign_row(vec, cents: list[list[float]]) -> int:
+    """Oracle-exact nearest-centroid for ONE vector: sequential
+    left-to-right (x−c)² folds, strict < keeps the smallest j on ties;
+    the best_j seed guards the all-inf/all-NaN row (strict < alone
+    would leave -1 where DuckDB's row_number picks cid 0); the tie
+    clause lets a REAL +inf displace a NaN-as-inf (DuckDB ranks inf
+    strictly below NaN). Extracted unchanged from `lloyd_train`'s
+    knife loop so the training assignment and the scale-path
+    assignment (`_assign_ids_np`) share ONE exact contract."""
+    dim = len(vec)
+    best_j, best_d, best_nan = -1, float("inf"), True
+    for j, c in enumerate(cents):
+        s = 0.0
+        for di in range(dim):
+            t = float(vec[di]) - c[di]
+            s += t * t
+        s_nan = s != s  # NaN fold → ranks greatest (see lloyd_train's d2)
+        if s_nan:
+            s = float("inf")
+        if s < best_d or best_j == -1 or (s == best_d and best_nan and not s_nan):
+            best_j, best_d, best_nan = j, s, s_nan
+    return best_j
+
+
 def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
                 iters: int = _KM_ITERS) -> list[list[float]]:
     """Deterministic fixed-iteration Lloyd's over an ORDERED sample.
@@ -228,23 +253,7 @@ def lloyd_train(sample: list[tuple[int, list[float]]], k: int = _KM_K,
         else:
             knife = []
         for r in knife:
-            best_j, best_d, best_nan = -1, float("inf"), True
-            for j in range(k):
-                s = 0.0
-                for di in range(dim):
-                    t = float(mats[r, di]) - cents[j][di]
-                    s += t * t
-                s_nan = s != s  # NaN fold → ranks greatest (see d2 above)
-                if s_nan:
-                    s = float("inf")
-                # strict < keeps the smallest j on ties; the best_j
-                # seed guards the all-inf/all-NaN row (strict < alone
-                # would leave -1 where DuckDB's row_number picks cid 0);
-                # the tie clause lets a REAL +inf displace a NaN-as-inf
-                # (DuckDB ranks inf strictly below NaN)
-                if s < best_d or best_j == -1 or (s == best_d and best_nan and not s_nan):
-                    best_j, best_d, best_nan = j, s, s_nan
-            assign[r] = best_j
+            assign[r] = _exact_assign_row(mats[r], cents)
         for j in range(k):
             rows = np.nonzero(assign == j)[0]
             if not len(rows):
@@ -316,7 +325,7 @@ def _km_assign_ctes() -> str:
     )"""
 
 
-def _km_trained_assignment(spark: SparkSession, sf_dir: str):
+def _km_trained_assignment(spark: SparkSession, sf_dir: str, k: int = _KM_K):
     """The shared quantizer prologue: valid vectors as double arrays,
     ordered-sample Lloyd's training, and the full-corpus
     nearest-centroid assignment expression. Returns (emb, v, cents) —
@@ -343,7 +352,49 @@ def _km_trained_assignment(spark: SparkSession, sf_dir: str):
     sample = [
         (r.vec_id, list(r.e)) for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
     ]
-    return emb, v, lloyd_train(sample)
+    return emb, v, lloyd_train(sample, k=k)
+
+
+def _assign_ids_np(mats, cents: list[list[float]]):
+    """Vectorized full-corpus nearest-centroid assignment — the SCALE
+    path for quantizers whose k is too large for `_assign_expr`'s
+    literal-centroid expression (k·dim literals stop being a sane
+    Catalyst expression well before production SemDeDup's k ∝ n).
+
+    Same assignment contract as `lloyd_train`: a matmul-expanded
+    distance prefilter (d2 = |x|² + |c|² − 2·x·c — O(n·k) memory, no
+    (n, k, d) tensor), NaN distances ranked greatest, and a knife-edge
+    re-rank through `_exact_assign_row`'s sequential folds wherever the
+    top-2 gap is within the float-error margin. The margin scale is
+    |x|² + max|c|² (NOT the row-max distance `lloyd_train` uses): the
+    matmul expansion's cancellation error is relative to the operand
+    magnitudes, so a vector sitting close to every centroid still gets
+    the exact re-rank even though its distances are all tiny.
+    """
+    import numpy as np
+
+    c_arr = np.array(cents, dtype="float64")
+    k = len(cents)
+    x2 = np.einsum("nd,nd->n", mats, mats)
+    c2 = np.einsum("kd,kd->k", c_arr, c_arr)
+    with np.errstate(invalid="ignore"):
+        d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ c_arr.T)
+    nan_mask = np.isnan(d2)
+    d2 = np.where(nan_mask, np.inf, d2)
+    assign = np.argmin(d2, axis=1)
+    for r in np.nonzero(nan_mask[np.arange(len(assign)), assign])[0]:
+        real = np.nonzero(~nan_mask[r])[0]
+        if len(real):
+            assign[r] = real[0]
+    if k > 1:
+        part = np.partition(d2, 1, axis=1)
+        finite_c2 = c2[np.isfinite(c2)]
+        margin = rel_margin(x2 + (finite_c2.max() if len(finite_c2) else 0.0))
+        with np.errstate(invalid="ignore"):  # inf-inf rows → NaN → no knife
+            knife = np.nonzero(part[:, 1] - part[:, 0] < margin)[0]
+        for r in knife:
+            assign[r] = _exact_assign_row(mats[r], cents)
+    return assign
 
 
 def _assign_expr(cents: list[list[float]]) -> str:
@@ -550,6 +601,67 @@ def _semdedup_oracle() -> str:
     """
 
 
+def semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """The SemDeDup engine behind `dedup_semantic`, with the quantizer
+    width as a parameter.
+
+    ``k=None`` (the registered contract) trains at the fixed
+    ``_KM_K`` and assigns through `_assign_expr`'s literal-centroid
+    JVM expression — the bitwise cross-engine path the DuckDB oracle
+    replays. An explicit ``k`` is the PRODUCTION-SCALE path: SemDeDup
+    (Abbas et al. 2023 §3) grows k ∝ n so expected cluster size n/k
+    stays bounded; at that width a k·dim-literal expression stops
+    being a sane Catalyst plan, so assignment runs as an Arrow-batched
+    pandas UDF over `_assign_ids_np` (matmul prefilter + the SAME
+    exact-fold knife re-rank as training — the two paths agree
+    bit-for-bit, asserted in tests/test_llm.py). Training stays the
+    bounded ordered ``_KM_SAMPLE``-vector sample either way (k clamps to the
+    sample size), so the quantizer still fits on one node and the
+    centroids ship to executors inside the UDF closure (k·dim doubles
+    — ~0.5 MB at k=1024·dim=64; a real deployment would promote this
+    to a broadcast variable, same plan shape).
+    """
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
+
+    _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=k or _KM_K)
+    if not cents:  # empty embeddings table: typed empty result, no crash
+        return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
+    if k is None:
+        assigned = v.withColumn("cluster_id", F.expr(_assign_expr(cents)).cast("long"))
+    else:
+        @F.pandas_udf("long")
+        def _assign_udf(e: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(e):
+                return pd.Series([], dtype="int64")
+            mats = np.stack(e.to_numpy()).astype("float64")
+            return pd.Series(_assign_ids_np(mats, cents), dtype="int64")
+
+        assigned = v.withColumn("cluster_id", _assign_udf(F.col("e")))
+
+    def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["e"].to_numpy()).astype("float64")
+        rows = _exact_pairs_block(ids, m, ids, m, upper=True)
+        # _exact_pairs_block emits (min_id, max_id, cos): the larger id
+        # of every qualifying pair is exactly "has a smaller-id near
+        # neighbor in its cluster" — the drop rule
+        drop = sorted({b for _a, b, _cos in rows})
+        return pd.DataFrame({"vec_id": pd.array(drop, dtype="int64")})
+
+    drops = (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(cluster_drops, "vec_id long")
+        .withColumn("__d", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id", "cluster_id", F.col("__d").isNull().alias("kept")
+    )
+
+
 @query("dedup_semantic", oracle=_semdedup_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public paper): semantic dedup via
@@ -571,39 +683,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cluster_id, and the within-cluster sweep is per-cluster BLAS in
     applyInPandas — pairs never shuffle, only the (small) drop set
     does. In production SemDeDup k grows ∝ n so expected cluster size
-    stays bounded (n/k ≈ const); a degenerate all-identical-embedding
-    cluster is the same bounded-slab regime dedup_embedding documents:
-    the drop-set OUTPUT is linear in the cluster even when the in-slab
-    comparison is quadratic.
+    stays bounded (n/k ≈ const) — `semdedup_frame(spark, sf_dir, k=…)`
+    is that path (pandas-UDF assignment; measured flat in
+    docs/SCALE.md's round-9 scale-k probe), while this registered
+    fixed-k shape is the oracle-replayable worst case; a degenerate
+    all-identical-embedding cluster is the same bounded-slab regime
+    dedup_embedding documents: the drop-set OUTPUT is linear in the
+    cluster even when the in-slab comparison is quadratic.
     """
-    import numpy as np
-    import pandas as pd
-
-    from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
-
-    _emb, v, cents = _km_trained_assignment(spark, sf_dir)
-    if not cents:  # empty embeddings table: typed empty result, no crash
-        return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
-    assigned = v.withColumn("cluster_id", F.expr(_assign_expr(cents)).cast("long"))
-
-    def cluster_drops(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["e"].to_numpy()).astype("float64")
-        rows = _exact_pairs_block(ids, m, ids, m, upper=True)
-        # _exact_pairs_block emits (min_id, max_id, cos): the larger id
-        # of every qualifying pair is exactly "has a smaller-id near
-        # neighbor in its cluster" — the drop rule
-        drop = sorted({b for _a, b, _cos in rows})
-        return pd.DataFrame({"vec_id": pd.array(drop, dtype="int64")})
-
-    drops = (
-        assigned.groupBy("cluster_id")
-        .applyInPandas(cluster_drops, "vec_id long")
-        .withColumn("__d", F.lit(True))
-    )
-    return assigned.join(drops, "vec_id", "left").select(
-        "vec_id", "cluster_id", F.col("__d").isNull().alias("kept")
-    )
+    return semdedup_frame(spark, sf_dir)
 
 
 dedup_semantic.__doc__ = dedup_semantic.__doc__.format(t=_SEMDEDUP_T)

@@ -773,6 +773,63 @@ def test_dedup_semantic_drops_smaller_id_neighbor(spark, tmp_path):
     assert all(out[i].kept for i in (0, 1, 3, 4, 5))
 
 
+def test_semdedup_scale_k_path_matches_literal_path(spark):
+    """`semdedup_frame`'s two assignment paths are ONE contract: at the
+    same k, the pandas-UDF scale path (matmul prefilter + exact-fold
+    knife) must reproduce the literal-centroid JVM expression's output
+    bit-for-bit on the real smoke corpus — cluster ids and kept flags
+    both."""
+    from parquet_to_hyper_app_spark.operators.llm.features import _KM_K, semdedup_frame
+
+    lit = {r.vec_id: r for r in semdedup_frame(spark, SF_SMOKE).collect()}
+    udf = {r.vec_id: r for r in semdedup_frame(spark, SF_SMOKE, k=_KM_K).collect()}
+    assert set(lit) == set(udf) and len(lit) > 0
+    for vid, row in lit.items():
+        assert (row.cluster_id, row.kept) == (udf[vid].cluster_id, udf[vid].kept), vid
+
+
+def test_semdedup_scale_k_bounds_cluster_size(spark):
+    """The production path's point: growing k shrinks clusters. At
+    k=64 on the smoke corpus every vector still appears exactly once,
+    cluster ids stay inside [0, 64), and the max cluster population is
+    strictly below the fixed-k=16 max."""
+    from parquet_to_hyper_app_spark.operators.llm.features import semdedup_frame
+
+    fixed = semdedup_frame(spark, SF_SMOKE).groupBy("cluster_id").count().collect()
+    wide_df = semdedup_frame(spark, SF_SMOKE, k=64)
+    wide = wide_df.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in wide) == sum(r["count"] for r in fixed)
+    assert all(0 <= r.cluster_id < 64 for r in wide)
+    assert max(r["count"] for r in wide) < max(r["count"] for r in fixed)
+
+
+def test_assign_ids_np_exact_contract():
+    """_assign_ids_np edge semantics match _exact_assign_row: exact
+    ties pick the smaller centroid id (knife re-rank), NaN distances
+    rank greatest (a NaN vector goes to... nowhere finite — DuckDB's
+    row_number picks cid 0), and a vector nearer c1 picks 1."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _assign_ids_np,
+        _exact_assign_row,
+    )
+
+    cents = [[0.0, 0.0], [2.0, 0.0], [4.0, 0.0]]
+    mats = np.array(
+        [
+            [1.0, 0.0],  # exact tie c0/c1 → smaller id 0
+            [3.0, 0.0],  # exact tie c1/c2 → 1
+            [2.1, 0.0],  # nearest c1
+            [np.nan, 0.0],  # all-NaN distances → cid 0 like DuckDB
+            [1e8, 1e8],  # large magnitude: knife margin must scale
+        ]
+    )
+    got = _assign_ids_np(mats, cents).tolist()
+    want = [_exact_assign_row(mats[i], cents) for i in range(len(mats))]
+    assert got == want == [0, 1, 1, 0, 2]
+
+
 def test_winnowing_guarantee_and_edges(spark, tmp_path):
     """The winnowing guarantee: two docs sharing a >= k+w-1 = 8-token
     run share at least one fingerprint; a sub-window doc emits exactly
