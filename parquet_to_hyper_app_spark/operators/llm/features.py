@@ -498,14 +498,22 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_quantize",
     oracle="""
-    WITH scaled AS (
+    WITH src AS (
+        SELECT vec_id,
+               CASE WHEN len(list_filter(embedding,
+                        x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))))
+                        = len(embedding)
+                    THEN embedding END AS embedding
+        FROM embeddings
+    ),
+    scaled AS (
         SELECT vec_id, embedding,
                CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale
         FROM (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
                             x -> abs(CAST(x AS DOUBLE)))) AS m
-            FROM embeddings
+            FROM src
         )
     ),
     quant AS (
@@ -539,11 +547,23 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shuffle-free JVM higher-order expressions (transform/
     aggregate) over the vector column; zero-vector guard via the
-    scale=1 substitution. 100 TB of embeddings quantize as a pure map
+    scale=1 substitution. A vector with any NULL/NaN/±Inf component
+    quantizes as UNDEFINED (all-NULL digests, exactly like a NULL
+    embedding): its scale is Inf or NaN, the element mapping collapses
+    to 0/NaN, and real-NaN casts are engine-divergent (Spark non-ANSI
+    → 0, DuckDB → conversion ERROR — found by the round-9 Inf fuzz
+    plant). Implemented by NULLing the source vector under the same
+    kept-component count as the similarity family's finite filter.
+    100 TB of embeddings quantize as a pure map
     stage feeding the parquet sink."""
+    from parquet_to_hyper_app_spark.operators.llm.similarity import finite_components
+
     e = load_table(spark, sf_dir, "embeddings")
+    src = e.select(
+        "vec_id", F.when(finite_components(), F.col("embedding")).alias("embedding")
+    )
     m = F.array_max(F.expr("transform(embedding, x -> abs(cast(x as double)))"))
-    scaled = e.select(
+    scaled = src.select(
         "vec_id",
         "embedding",
         F.when(m == 0, F.lit(1.0)).otherwise(m).alias("scale"),

@@ -47,28 +47,43 @@ def valid_vectors(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
 
 
-#: the ONE ragged-vector contract, family-wide (round 8, extending the
-#: r8-batch quantizer fix to every search/near-dup consumer): the
+#: the ONE well-formed-vector contract, family-wide (round 8 for the
+#: dimensionality half, extending the r8-batch quantizer fix to every
+#: search/near-dup consumer; round 9 added the FINITE half): the
 #: domain of cosine search and near-dup mining is vectors of the
-#: CORPUS dimensionality — max length over defined embeddings. A
-#: ragged shorter vector has no defined cosine against the corpus:
-#: Spark's zip_with NULL-poisons the fold while DuckDB's list ops
-#: silently skip the missing tail (engine-divergent), and np.stack
-#: inside the pandas-UDF paths crashes outright. Exclusion on BOTH
+#: CORPUS dimensionality — max length over defined embeddings — whose
+#: components are all non-NULL and finite. A ragged shorter vector has
+#: no defined cosine against the corpus: Spark's zip_with NULL-poisons
+#: the fold while DuckDB's list ops silently skip the missing tail
+#: (engine-divergent), and np.stack inside the pandas-UDF paths
+#: crashes outright. A vector with a ±Inf or NaN COMPONENT has a NaN
+#: cosine against everything, and real-NaN threshold comparisons are
+#: engine-divergent in the opposite directions (Python/numpy IEEE:
+#: NaN ≥ t is false; DuckDB total order: NaN ≥ t is TRUE — measured
+#: round 9: an Inf vector "near-dups" the whole corpus in the oracle
+#: and nothing in the engine; note DuckDB 0/0 → NULL, which is why
+#: the finite zero vector never tripped this). Exclusion on BOTH
 #: engines is the only contract the engines can agree on. Profiling
 #: ops (array_ops, embedding_quantize, sql_explode) deliberately stay
-#: per-row and keep ragged rows.
+#: per-row and keep ragged rows (quantize NULLs non-finite digests —
+#: see its docstring).
 #: The oracle prefix below is the DuckDB mirror of `uniform_vectors`:
 #: every embedding-family oracle composes its __v from it. The
 #: `len(embedding) > 0` term keeps the all-empty-corpus edge aligned
 #: (max(len)=0 would otherwise admit empty lists that the Spark side's
-#: valid_vectors prefilter excludes).
+#: valid_vectors prefilter excludes). The finite filter counts
+#: KEPT components (len(list_filter(...)) = len(...)) rather than
+#: folding a boolean so a NULL component can never three-value its
+#: way through.
 UNIFORM_VEC_CTES = """__p AS (SELECT max(len(embedding)) AS dim FROM embeddings),
     __v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings, __p
         WHERE embedding IS NOT NULL AND len(embedding) = dim
               AND len(embedding) > 0
+              AND len(list_filter(embedding,
+                      x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE))))
+                  = len(embedding)
     )"""
 
 
@@ -83,16 +98,32 @@ def corpus_dim(emb: DataFrame) -> int | None:
     return None if row is None or row["d"] is None else int(row["d"])
 
 
+def finite_components(col: str = "embedding"):
+    """TRUE iff every component of the array column is non-NULL and
+    finite — the Spark mirror of the oracle's list_filter count (the
+    same no-three-valued-logic construction: count the components the
+    predicate KEEPS and require it to equal the length)."""
+    kept = F.filter(
+        col,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+    )
+    return F.size(kept) == F.size(col)
+
+
 def uniform_vectors(emb: DataFrame, dim: int) -> DataFrame:
-    """Rows whose embedding is defined AND of the corpus
-    dimensionality — the Spark mirror of `UNIFORM_VEC_CTES`' __v.
+    """Rows whose embedding is defined, of the corpus dimensionality,
+    AND all-finite — the Spark mirror of `UNIFORM_VEC_CTES`' __v.
 
     `dim` is required: the only dim-resolution path is
     `corpus_dim_for` (cached, None-aware), so the ragged contract has
     exactly one place where "no well-defined vector" is decided —
     an Optional default here duplicated that logic uncached and was
     never called (ADVICE r8). Operators use `uniform_vectors_for`."""
-    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == dim)
+        & finite_components()
+    )
 
 
 def brute_force_topk(

@@ -138,3 +138,59 @@ def test_embedding_family_survives_ragged_embeddings(spark, tmp_path):
         out = op(spark, str(tmp_path)).collect()
         assert out, op.__name__
         assert all(6 != r.q_id and 6 != r.neighbor_id for r in out), op.__name__
+
+
+def test_embedding_family_excludes_non_finite_vectors(spark, tmp_path):
+    """Round-9 finite half of the well-formed-vector contract: a
+    vector with a ±Inf or NaN component has a real-NaN cosine against
+    everything, and real-NaN threshold comparisons diverge across
+    engines in OPPOSITE directions (numpy IEEE: NaN >= t false;
+    DuckDB total order: TRUE — the Inf fuzz plant made an Inf vector
+    near-dup the entire corpus in the oracle and nothing in the
+    engine). Exclusion on both engines is the only agreeable
+    contract. The non-finite vectors are copies of the duplicated
+    vector with one poisoned component, so inclusion WOULD pair them."""
+    from parquet_to_hyper_app_spark.operators.llm.dedup import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        dedup_semantic,
+        embedding_quantize,
+        similarity_kmeans_ivf,
+    )
+    from parquet_to_hyper_app_spark.operators.llm.similarity import similarity_topk
+
+    rng = np.random.default_rng(9)
+    vecs = [[float(x) for x in rng.normal(0, 1, 8)] for _ in range(40)]
+    vecs[1] = vecs[0]  # exact duplicate: miners must still emit (1, 2)
+    vecs[5] = [float("inf")] + vecs[0][1:]  # +Inf component
+    vecs[6] = [float("nan")] + vecs[0][1:]  # NaN component
+    vecs[7] = [float("-inf")] * 8  # all -Inf
+    bad = {6, 7, 8}  # vec_ids of the poisoned rows (1-based)
+    spark.createDataFrame(
+        [(i + 1, v, i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    for op in (dedup_embedding, dedup_embedding_lsh):
+        pairs = op(spark, str(tmp_path)).collect()
+        assert (1, 2) in {(r.vec_a, r.vec_b) for r in pairs}, op.__name__
+        assert all(
+            r.vec_a not in bad and r.vec_b not in bad for r in pairs
+        ), op.__name__
+    out = {r.vec_id for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert out.isdisjoint(bad) and len(out) == 37
+    for op in (similarity_topk, similarity_kmeans_ivf):
+        res = op(spark, str(tmp_path)).collect()
+        assert res, op.__name__
+        assert all(
+            r.q_id not in bad and r.neighbor_id not in bad for r in res
+        ), op.__name__
+    # quantize keeps the rows but NULLs every digest of a poisoned one
+    q = {r.vec_id: r for r in embedding_quantize(spark, str(tmp_path)).collect()}
+    assert len(q) == 40
+    for vid in bad:
+        r = q[vid]
+        assert (r.dims, r.scale, r.q_sum, r.q_min, r.q_max) == (None,) * 5, vid
+    assert q[1].q_sum is not None and q[1].dims == 8

@@ -380,12 +380,12 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
-        # the plants below index rows[5..10] and the dim−1 ragged row
+        # the plants below index rows[5..13] and the dim−1 ragged row
         # needs dim ≥ 2 to stay distinct from the empty-vector plant
         # (rows[8]); a smaller panel would silently fuzz a DIFFERENT
         # contract — fail loudly instead (ADVICE r8)
-        assert n > 10 and dim >= 2, (
-            f"dirty embeddings panel needs n > 10 and dim >= 2, got n={n} dim={dim}"
+        assert n > 13 and dim >= 2, (
+            f"dirty embeddings panel needs n > 13 and dim >= 2, got n={n} dim={dim}"
         )
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
@@ -417,6 +417,22 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
         # embedding_quantize, sql_explode) keep it and must agree
         # per-row.
         rows[10] = rows[10][: dim - 1]
+        # NON-FINITE components (round 9): an Inf or NaN component
+        # gives a real-NaN cosine against everything (inf/inf or
+        # nan-propagation), and real-NaN threshold comparisons are
+        # engine-divergent in OPPOSITE directions — Python/numpy IEEE
+        # says NaN ≥ t is false, DuckDB's total order says TRUE (an
+        # Inf vector "near-dups" the whole corpus in the oracle and
+        # nothing in the engine), and DuckDB ERRORS casting real NaN
+        # to INTEGER where Spark's non-ANSI cast yields 0 (the
+        # quantize digests). Note the zero vector (rows[5]) never
+        # tripped this: DuckDB 0/0 is NULL, not NaN. The family-wide
+        # finite-vector contract excludes all three from search /
+        # near-dup on both engines (uniform_vectors ↔
+        # UNIFORM_VEC_CTES) and NULLs their quantize digests.
+        rows[11] = [float("inf")] + rows[11][1:]  # +Inf component
+        rows[12] = [float("-inf")] * dim  # all -Inf
+        rows[13] = rows[13][:-1] + [float("nan")]  # NaN component
     return pa.table(
         {
             "vec_id": pa.array(range(1, n + 1), pa.int64()),
