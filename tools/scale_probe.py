@@ -99,10 +99,20 @@ TABLES: dict[str, list[str] | None] = {
 }
 
 
-def _replicate(spark: SparkSession, sf_dir: str, out_dir: str, k: int) -> None:
-    """Write k disjoint copies of each probe table into out_dir."""
+def _replicate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    k: int,
+    tables: dict[str, list[str] | None] | None = None,
+) -> None:
+    """Write k disjoint copies of each probe table into out_dir.
+
+    ``tables`` restricts the set (same name → shift-columns mapping as
+    TABLES) for single-family probes — tools/semdedup_k_probe.py
+    replicates only embeddings."""
     os.makedirs(out_dir, exist_ok=True)
-    for name, shift_cols in TABLES.items():
+    for name, shift_cols in (tables if tables is not None else TABLES).items():
         src = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if shift_cols is None:  # bounded dim: pass through once
             src.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
