@@ -335,7 +335,13 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- binary-below, and a dyadic mean on an exact tie where
            -- DuckDB rounds half-even. Both split.) Domain gate 1e12
            -- matches head4 — Spark's floor returns BIGINT.
-           CASE WHEN len(embedding) > 0 THEN
+           -- NULL-COMPONENT guard (r9 fuzz plant): Spark's aggregate()
+           -- is an ordered fold, so one NULL element NULL-poisons the
+           -- whole sum — the operator's per-row NULL-propagation rule.
+           -- DuckDB's list_sum SKIPS NULL elements like an aggregate
+           -- and would emit a real number; gate it out explicitly.
+           CASE WHEN len(embedding) > 0
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0 THEN
                CASE WHEN sqrt(list_sum(list_transform(
                         embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) < 1e12
                     THEN floor(sqrt(list_sum(list_transform(
@@ -343,7 +349,8 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1e6 + 0.5) / 1e6
                END
            END AS l2_norm,
-           CASE WHEN abs(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+           CASE WHEN len(list_filter(embedding, x -> x IS NULL)) = 0
+                 AND abs(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                      / len(embedding)) < 1e12
                 THEN floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                      / len(embedding) * 1e6 + 0.5) / 1e6 + 0.0

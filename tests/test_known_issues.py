@@ -167,7 +167,8 @@ def test_embedding_family_excludes_non_finite_vectors(spark, tmp_path):
     vecs[5] = [float("inf")] + vecs[0][1:]  # +Inf component
     vecs[6] = [float("nan")] + vecs[0][1:]  # NaN component
     vecs[7] = [float("-inf")] * 8  # all -Inf
-    bad = {6, 7, 8}  # vec_ids of the poisoned rows (1-based)
+    vecs[8] = [None] + vecs[0][1:]  # NULL component, right length
+    bad = {6, 7, 8, 9}  # vec_ids of the poisoned rows (1-based)
     spark.createDataFrame(
         [(i + 1, v, i % 3) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>, label int",
@@ -180,7 +181,7 @@ def test_embedding_family_excludes_non_finite_vectors(spark, tmp_path):
             r.vec_a not in bad and r.vec_b not in bad for r in pairs
         ), op.__name__
     out = {r.vec_id for r in dedup_semantic(spark, str(tmp_path)).collect()}
-    assert out.isdisjoint(bad) and len(out) == 37
+    assert out.isdisjoint(bad) and len(out) == 36
     for op in (similarity_topk, similarity_kmeans_ivf):
         res = op(spark, str(tmp_path)).collect()
         assert res, op.__name__

@@ -380,12 +380,12 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
-        # the plants below index rows[5..13] and the dim−1 ragged row
+        # the plants below index rows[5..14] and the dim−1 ragged row
         # needs dim ≥ 2 to stay distinct from the empty-vector plant
         # (rows[8]); a smaller panel would silently fuzz a DIFFERENT
         # contract — fail loudly instead (ADVICE r8)
-        assert n > 13 and dim >= 2, (
-            f"dirty embeddings panel needs n > 13 and dim >= 2, got n={n} dim={dim}"
+        assert n > 14 and dim >= 2, (
+            f"dirty embeddings panel needs n > 14 and dim >= 2, got n={n} dim={dim}"
         )
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
@@ -433,6 +433,7 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
         rows[11] = [float("inf")] + rows[11][1:]  # +Inf component
         rows[12] = [float("-inf")] * dim  # all -Inf
         rows[13] = rows[13][:-1] + [float("nan")]  # NaN component
+        rows[14] = [None] + rows[14][1:]  # NULL component (right length)
     return pa.table(
         {
             "vec_id": pa.array(range(1, n + 1), pa.int64()),
