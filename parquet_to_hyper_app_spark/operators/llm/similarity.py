@@ -100,14 +100,19 @@ def corpus_dim(emb: DataFrame) -> int | None:
 
 def finite_components(col: str = "embedding"):
     """TRUE iff every component of the array column is non-NULL and
-    finite — the Spark mirror of the oracle's list_filter count (the
-    same no-three-valued-logic construction: count the components the
-    predicate KEEPS and require it to equal the length)."""
-    kept = F.filter(
+    finite — the Spark mirror of the oracle's list_filter count.
+
+    Implemented as one forall() fold, not filter()+size: the filtered
+    COPY of every vector cost a measured 1.22x on embedding_quantize's
+    tiny map job (r9 A/B) where the fold is allocation-free. The
+    boolean agrees with the oracle's kept-count construction on every
+    input: a NULL component makes the predicate NULL, so forall yields
+    NULL (not TRUE) — and both filter() and when() treat non-TRUE as
+    excluded, exactly like a kept-count shortfall."""
+    return F.forall(
         col,
         lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
     )
-    return F.size(kept) == F.size(col)
 
 
 def uniform_vectors(emb: DataFrame, dim: int) -> DataFrame:
