@@ -339,6 +339,20 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         # all three engines tokenize these identically.
         texts[14] = "vtab\x0bsplit mixed \x0b\t tail"
         texts[15] = "nbsp\u00a0glued line\u2028sep para\u2029sep end"
+        # CRLF line endings (r9): line-based gates split on '\n', so
+        # every line carries a trailing '\r' \u2014 the bullet/ellipsis
+        # tests and any trim must treat it identically in Java regex,
+        # Python, and DuckDB (DuckDB trim() strips spaces ONLY; a
+        # "trim then test" implementation would diverge from Spark's)
+        texts[17] = (
+            "- the quick brown fox\r\n- jumps over it all...\r\nplain tail line\r\n"
+        )
+        # one giant token (r9): a 5000-char unbroken word \u2014 pins the
+        # mean-word-length band (way out of range \u2192 gopher fail), the
+        # single-token paths of BPE/winnowing/bigram miners, and any
+        # char-vs-byte length split (pure ASCII on purpose; the emoji
+        # doc pins multibyte)
+        texts[18] = "x" * 5000
     if dirty:
         # SQL NULL text: the driver testdata never produces it, but any
         # real ingestion can — every text-consuming oracle must agree
