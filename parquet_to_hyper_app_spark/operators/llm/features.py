@@ -375,17 +375,25 @@ def _assign_ids_np(mats, cents: list[list[float]]):
 
     c_arr = np.array(cents, dtype="float64")
     k = len(cents)
-    x2 = np.einsum("nd,nd->n", mats, mats)
-    c2 = np.einsum("kd,kd->k", c_arr, c_arr)
-    with np.errstate(invalid="ignore"):
+    # over= too: |x|² past DBL_MAX saturates to inf, which either ranks
+    # correctly or lands in the NaN-artifact path routed to the exact
+    # fold below — neither needs a warning
+    with np.errstate(invalid="ignore", over="ignore"):
+        x2 = np.einsum("nd,nd->n", mats, mats)
+        c2 = np.einsum("kd,kd->k", c_arr, c_arr)
         d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ c_arr.T)
     nan_mask = np.isnan(d2)
     d2 = np.where(nan_mask, np.inf, d2)
     assign = np.argmin(d2, axis=1)
-    for r in np.nonzero(nan_mask[np.arange(len(assign)), assign])[0]:
-        real = np.nonzero(~nan_mask[r])[0]
-        if len(real):
-            assign[r] = real[0]
+    # ANY NaN entry sends the whole row to the exact fold — unlike the
+    # training path's (x−c)² tensor, the matmul expansion manufactures
+    # NaN from 0·inf and inf−inf ARTIFACTS whose exact distance may be
+    # a comparable inf (x finite-huge, c has an inf component) or even
+    # 0 (x duplicated at overflow magnitude, |x|² → inf): substituting
+    # inf and repairing only the argmin column mis-ranked both cases
+    # (found by the r9 hypothesis property test, not by any corpus).
+    for r in np.nonzero(nan_mask.any(axis=1))[0]:
+        assign[r] = _exact_assign_row(mats[r], cents)
     if k > 1:
         part = np.partition(d2, 1, axis=1)
         finite_c2 = c2[np.isfinite(c2)]

@@ -290,3 +290,44 @@ def test_winnowing_shared_run_guarantee(_spark, data, shared_extra):
     for doc_id, doc in ((1, doc1), (2, doc2)):
         n_grams = max(len(doc) - _WIN_K + 1, 0)
         assert 1 <= len(fps[doc_id]) <= n_grams
+
+
+# arbitrary doubles INCLUDING NaN/Inf and magnitude extremes: the
+# scale-path assignment must agree with the exact sequential-fold
+# contract on every input, not just the clean corpus
+_vec_el = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.floats(min_value=-1e9, max_value=1e9),
+    st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e8, -1e8]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_assign_ids_np_always_matches_exact_fold(data):
+    """Property (r9 scale path): `_assign_ids_np`'s matmul prefilter +
+    knife re-rank equals `_exact_assign_row`'s pure sequential fold for
+    EVERY vector — ties, duplicated centroids, NaN/Inf components, and
+    magnitude extremes included. This is the bit-equality claim the
+    scale-k pandas UDF rests on, pinned without a SparkSession."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _assign_ids_np,
+        _exact_assign_row,
+    )
+
+    dim = data.draw(st.integers(min_value=1, max_value=6))
+    k = data.draw(st.integers(min_value=1, max_value=5))
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    cents = [
+        [data.draw(_vec_el) for _ in range(dim)] for _ in range(k)
+    ]
+    if k >= 2 and data.draw(st.booleans()):
+        cents[1] = list(cents[0])  # duplicated centroid: exact tie by design
+    mats = np.array(
+        [[data.draw(_vec_el) for _ in range(dim)] for _ in range(n)], dtype="float64"
+    )
+    got = _assign_ids_np(mats, cents).tolist()
+    want = [_exact_assign_row(mats[i], cents) for i in range(n)]
+    assert got == want, (mats.tolist(), cents)
