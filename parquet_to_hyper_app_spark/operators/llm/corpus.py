@@ -686,27 +686,24 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAIN_T = 0.8
 
 
-@query(
-    "dedup_containment",
-    oracle=f"""
-    WITH {BIGRAM_SIZED_CTES_TMPL.format(src="documents")}
-    SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
-           CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
-                AS DOUBLE) / len(a.bigrams) AS containment
-    FROM __sized a JOIN __sized b
-      ON a.lang = b.lang AND a.doc_id <> b.doc_id
-    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
-               AS DOUBLE) / len(a.bigrams) >= {_CONTAIN_T}
-    """,
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup pairs — the dedup dimension
-    Jaccard misses: a short document whose content is almost entirely
-    embedded in a longer one (boilerplate-wrapped rehosts, quoted
-    articles, expanded revisions) scores low on Jaccard (the union is
-    dominated by the big doc) but high on containment
-    C(src→dst) = |src ∩ dst| / |src|. Emits every ORDERED pair with
-    C ≥ 0.8 over distinct word bigrams, within language.
+def containment_frame(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """The containment engine behind `dedup_containment`, with the
+    VERIFY strategy selectable by ``df_cap`` (the semdedup_frame(k)
+    device: the registered key is the oracle-replayable default, the
+    parameter is the measured deployment branch).
+
+    ``df_cap=None`` (the registered contract) verifies every candidate
+    through the pure gram-level co-occurrence count join. An explicit
+    ``df_cap`` is the POWER-LAW deployment form: the count join runs
+    only over grams with df ≤ cap (bounding its pre-combine stream at
+    Σ_{{df≤cap}} df² ≤ cap·Σdf rows), while each doc's FEW high-df
+    grams — at most the vocabulary head above the cap — ride as a
+    small sorted array joined per candidate side and intersected
+    exactly. common = count_low + |high_src ∩ high_dst| partitions
+    each doc's gram set by df, so the two variants are pair-for-pair
+    identical (asserted in tests and by tools/powerlaw_probe.py).
 
     Candidate scheme (prefix filter, containment form): rank each
     doc's bigrams by (document frequency asc, hash) within its lang —
@@ -741,11 +738,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured at sf0.1: Σdf² = 19.0M, max df 152 — ~8× the candidate
     rows at ~40× fewer bytes each) but explodes on a power-law real
     corpus where stopword bigrams have df in the millions; there the
-    deployment-grade form is the df-CAPPED hybrid — count-join for
-    grams with df ≤ cap, array verify only for the rare pairs whose
-    overlap budget needs the high-df remainder — deliberately NOT
-    built for this bounded-df probe corpus (measure the df
-    distribution first, as r8 did, before paying that complexity).
+    deployment-grade form is the ``df_cap`` hybrid above — built and
+    MEASURED in r10 on a Zipfian synthetic (tools/powerlaw_probe.py;
+    crossover numbers in docs/SCALE.md "Round-10"), kept OFF the
+    registered key because the driver testdata is bounded-df (r8
+    measured the distribution first, which is the right order).
     Shuffle keys (df counts, prefix rank, candidate join, co-occur
     count) all scale with corpus gram volume; the pair-row COUNTS are
     linear, and after r9 the verify BYTES are too."""
@@ -805,25 +802,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "pl", "pg")
         .dropDuplicates(["pl", "pg", "src"])
     )
-    # gram-level co-occurrence count verify (unordered_cooccurrence,
-    # shared with ngram_jaccard_pairs): |src ∩ dst| in 24-byte rows,
-    # replacing the r8 array-carrying verify (the measured x64 byte
-    # wall; see docstring). Candidates inner-join losslessly: every
-    # candidate shares ≥1 gram by construction, so its pair appears;
-    # both orientations of an ordered candidate probe the same
-    # unordered count.
-    cooc = unordered_cooccurrence(occ, n_parts)
-    out = (
-        cands.join(cooc, ["pl", "pg"])
-        .withColumn(
+    if df_cap is None:
+        # gram-level co-occurrence count verify (unordered_cooccurrence,
+        # shared with ngram_jaccard_pairs): |src ∩ dst| in 24-byte rows,
+        # replacing the r8 array-carrying verify (the measured x64 byte
+        # wall; see docstring). Candidates inner-join losslessly: every
+        # candidate shares ≥1 gram by construction, so its pair appears;
+        # both orientations of an ordered candidate probe the same
+        # unordered count.
+        cooc = unordered_cooccurrence(occ, n_parts)
+        verified = cands.join(cooc, ["pl", "pg"]).withColumn(
             "containment", F.col("common").cast("double") / F.col("ns")
         )
-        .filter(F.col("containment") >= _CONTAIN_T)
-        .select(
-            F.col("src").alias("doc_src"),
-            F.col("dst").alias("doc_dst"),
-            "containment",
+    else:
+        # df-capped hybrid verify (see docstring): the count join sees
+        # only grams with df ≤ cap, so its pre-combine stream is
+        # bounded by cap·Σdf rows instead of Σdf²; the high-df
+        # remainder — per doc at most the vocabulary head above the
+        # cap — travels as ONE small sorted array per candidate side
+        # and is intersected exactly. The cooc join must be LEFT here:
+        # a candidate pair introduced by a low-df prefix gram can
+        # still share zero grams below the cap only when the prefix
+        # gram itself is above it, and a pair whose every shared gram
+        # is high-df must survive to the array term.
+        occ_df = occ.join(df_tab, ["lang", "h"])
+        cooc_low = unordered_cooccurrence(
+            occ_df.filter(F.col("df") <= df_cap).select("doc_id", "lang", "h"),
+            n_parts,
         )
+        high = (
+            occ_df.filter(F.col("df") > df_cap)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("h")).alias("hi"))
+        )
+        no_high = F.array().cast("array<bigint>")
+        verified = (
+            cands.join(cooc_low, ["pl", "pg"], "left")
+            .join(
+                high.select(F.col("doc_id").alias("src"), F.col("hi").alias("hi_s")),
+                "src",
+                "left",
+            )
+            .join(
+                high.select(F.col("doc_id").alias("dst"), F.col("hi").alias("hi_d")),
+                "dst",
+                "left",
+            )
+            .withColumn(
+                "common",
+                F.coalesce(F.col("common"), F.lit(0))
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("hi_s"), no_high),
+                        F.coalesce(F.col("hi_d"), no_high),
+                    )
+                ),
+            )
+            .withColumn(
+                "containment", F.col("common").cast("double") / F.col("ns")
+            )
+        )
+    out = verified.filter(F.col("containment") >= _CONTAIN_T).select(
+        F.col("src").alias("doc_src"),
+        F.col("dst").alias("doc_dst"),
+        "containment",
     )
     # materialize the (small) pair set eagerly so the corpus-wide
     # hash-array cache releases NOW instead of pinning executor
@@ -832,6 +874,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     grams.unpersist()
     return out
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {BIGRAM_SIZED_CTES_TMPL.format(src="documents")}
+    SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+           CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
+                AS DOUBLE) / len(a.bigrams) AS containment
+    FROM __sized a JOIN __sized b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_filter(a.bigrams, g -> list_contains(b.bigrams, g)))
+               AS DOUBLE) / len(a.bigrams) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs — the dedup dimension
+    Jaccard misses: a short document whose content is almost entirely
+    embedded in a longer one (boilerplate-wrapped rehosts, quoted
+    articles, expanded revisions) scores low on Jaccard (the union is
+    dominated by the big doc) but high on containment
+    C(src→dst) = |src ∩ dst| / |src|. Emits every ORDERED pair with
+    C ≥ 0.8 over distinct word bigrams, within language; the
+    exhaustive within-lang oracle proves the prefix filter lossless.
+
+    The engine is `containment_frame` (prefix-filter candidates +
+    co-occurrence count verify — see its docstring for the full
+    candidate/verify scheme and the 100 TB posture). The registered
+    shape is the uncapped ``df_cap=None`` form, correct for the
+    bounded-df testdata vocabulary; `containment_frame(df_cap=...)`
+    is the measured power-law deployment branch."""
+    return containment_frame(spark, sf_dir)
 
 
 #: dedup_incremental: every doc_id ≡ 0 (mod 10) plays the incoming

@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import math
 
+# module-level by design (ADVICE r9 considered and kept): pandas is a
+# declared install dependency (pyproject), sibling UDF modules import
+# it the same way, and `semdedup_frame`'s pandas_udf resolves its
+# `pd.Series` hints via get_type_hints against THESE module globals
+# (PEP 563 strings) — a function-local import would break that.
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -375,24 +380,29 @@ def _assign_ids_np(mats, cents: list[list[float]]):
 
     c_arr = np.array(cents, dtype="float64")
     k = len(cents)
-    # over= too: |x|² past DBL_MAX saturates to inf, which either ranks
-    # correctly or lands in the NaN-artifact path routed to the exact
-    # fold below — neither needs a warning
+    # over= too: |x|² past DBL_MAX saturates to inf, which lands in the
+    # non-finite artifact path routed to the exact fold below — no
+    # warning needed
     with np.errstate(invalid="ignore", over="ignore"):
         x2 = np.einsum("nd,nd->n", mats, mats)
         c2 = np.einsum("kd,kd->k", c_arr, c_arr)
         d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ c_arr.T)
-    nan_mask = np.isnan(d2)
-    d2 = np.where(nan_mask, np.inf, d2)
+    artifact = ~np.isfinite(d2)
+    d2 = np.where(artifact, np.inf, d2)
     assign = np.argmin(d2, axis=1)
-    # ANY NaN entry sends the whole row to the exact fold — unlike the
-    # training path's (x−c)² tensor, the matmul expansion manufactures
-    # NaN from 0·inf and inf−inf ARTIFACTS whose exact distance may be
-    # a comparable inf (x finite-huge, c has an inf component) or even
-    # 0 (x duplicated at overflow magnitude, |x|² → inf): substituting
-    # inf and repairing only the argmin column mis-ranked both cases
-    # (found by the r9 hypothesis property test, not by any corpus).
-    for r in np.nonzero(nan_mask.any(axis=1))[0]:
+    # ANY non-finite entry sends the whole row to the exact fold —
+    # unlike the training path's (x−c)² tensor (squares, never
+    # negative), the matmul expansion manufactures NaN from 0·inf and
+    # inf−inf ARTIFACTS whose exact distance may be a comparable inf
+    # (x finite-huge, c has an inf component) or even 0 (x duplicated
+    # at overflow magnitude, |x|² → inf): substituting inf and
+    # repairing only the argmin column mis-ranked both cases (found by
+    # the r9 hypothesis property test, not by any corpus). ±inf rides
+    # the same route (ADVICE r9): a −inf entry (2·x·c overflows while
+    # |x|²+|c|² stays finite) would make the knife gap below +inf/NaN
+    # and never re-rank, and a saturated +inf is only PROBABLY the
+    # true max — the exact-fold contract should not rest on either.
+    for r in np.nonzero(artifact.any(axis=1))[0]:
         assign[r] = _exact_assign_row(mats[r], cents)
     if k > 1:
         part = np.partition(d2, 1, axis=1)
@@ -653,7 +663,12 @@ def semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> Da
 
     from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
 
-    _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=k or _KM_K)
+    if k is not None and k <= 0:
+        # the path selector below routes on `k is None`; a non-positive
+        # k would otherwise train the default width yet claim an
+        # explicit one on the UDF path (ADVICE r9)
+        raise ValueError(f"semdedup k must be positive, got {k}")
+    _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=_KM_K if k is None else k)
     if not cents:  # empty embeddings table: typed empty result, no crash
         return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
     if k is None:

@@ -106,9 +106,11 @@ def finite_components(col: str = "embedding"):
     COPY of every vector cost a measured 1.22x on embedding_quantize's
     tiny map job (r9 A/B) where the fold is allocation-free. The
     boolean agrees with the oracle's kept-count construction on every
-    input: a NULL component makes the predicate NULL, so forall yields
-    NULL (not TRUE) — and both filter() and when() treat non-TRUE as
-    excluded, exactly like a kept-count shortfall."""
+    input: a NULL component makes `x.isNotNull()` FALSE, and FALSE AND
+    NULL is FALSE under three-valued logic, so the predicate — and
+    therefore the forall — yields FALSE (not TRUE) — and both filter()
+    and when() exclude non-TRUE, exactly like a kept-count
+    shortfall."""
     return F.forall(
         col,
         lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),

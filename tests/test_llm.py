@@ -726,6 +726,31 @@ def test_gopher_rules_planted(spark, tmp_path):
     assert out[7].passes_gopher and out[7].bullet_line_ratio == 0.9
 
 
+def test_containment_df_cap_hybrid_matches_uncapped(spark):
+    """`containment_frame(df_cap)` is ONE contract with the registered
+    uncapped verify: common = count(df ≤ cap) + |high ∩ high|
+    partitions each doc's gram set by df, so the pair set and every
+    containment value must be identical at ANY cap — including cap=1
+    (df=1 grams never co-occur, so everything rides the array term)
+    and a cap above max df (the array term is empty)."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        containment_frame,
+        dedup_containment,
+    )
+
+    base = {
+        (r.doc_src, r.doc_dst, round(r.containment, 9))
+        for r in dedup_containment(spark, SF_SMOKE).collect()
+    }
+    assert base  # the smoke corpus plants containment pairs
+    for cap in (1, 4, 10**9):
+        got = {
+            (r.doc_src, r.doc_dst, round(r.containment, 9))
+            for r in containment_frame(spark, SF_SMOKE, df_cap=cap).collect()
+        }
+        assert got == base, f"df_cap={cap} diverges"
+
+
 def test_dedup_substring_flags_shared_span(spark, tmp_path):
     """Two docs sharing a long token window are both flagged (their
     grams are mostly shared); a distinct doc has zero dup grams; a
@@ -803,6 +828,19 @@ def test_semdedup_scale_k_bounds_cluster_size(spark):
     assert max(r["count"] for r in wide) < max(r["count"] for r in fixed)
 
 
+def test_semdedup_frame_rejects_nonpositive_k(spark):
+    """k=0 must not silently train the default width while taking the
+    explicit-k UDF path (ADVICE r9): non-positive k raises."""
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.features import semdedup_frame
+
+    with _pytest.raises(ValueError, match="positive"):
+        semdedup_frame(spark, SF_SMOKE, k=0)
+    with _pytest.raises(ValueError, match="positive"):
+        semdedup_frame(spark, SF_SMOKE, k=-3)
+
+
 def test_assign_ids_np_exact_contract():
     """_assign_ids_np edge semantics match _exact_assign_row: exact
     ties pick the smaller centroid id (knife re-rank), NaN distances
@@ -823,11 +861,15 @@ def test_assign_ids_np_exact_contract():
             [2.1, 0.0],  # nearest c1
             [np.nan, 0.0],  # all-NaN distances → cid 0 like DuckDB
             [1e8, 1e8],  # large magnitude: knife margin must scale
+            # |x|² saturates to +inf with finite dots: every d2 entry is
+            # +inf with NO NaN — the ±inf artifact route (ADVICE r9)
+            # must still hand the row to the exact fold
+            [1e200, 0.0],
         ]
     )
     got = _assign_ids_np(mats, cents).tolist()
     want = [_exact_assign_row(mats[i], cents) for i in range(len(mats))]
-    assert got == want == [0, 1, 1, 0, 2]
+    assert got == want == [0, 1, 1, 0, 2, 0]
 
 
 def test_winnowing_guarantee_and_edges(spark, tmp_path):

@@ -353,6 +353,16 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         # char-vs-byte length split (pure ASCII on purpose; the emoji
         # doc pins multibyte)
         texts[18] = "x" * 5000
+        # r10 plants: zero-length docs INTERLEAVED with the giant-token
+        # doc in id-space (indices 18/20/21 are consecutive free slots
+        # around it) — the tokenizer must not let an empty neighbor
+        # perturb the prefix-join's df ordering — plus a NEAR-DUP of
+        # the giant-token doc: the shared 5000-char gram becomes a
+        # df=2 join key whose string length dwarfs the corpus, pinning
+        # the prefix/positional prunes and the gram-hash paths against
+        # degenerate-length tokens
+        texts[20] = ""
+        texts[21] = "x" * 5000 + " tail"
     if dirty:
         # SQL NULL text: the driver testdata never produces it, but any
         # real ingestion can — every text-consuming oracle must agree
@@ -368,6 +378,12 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         # NULL lang never equi-joins (so NULL-lang docs never pair in
         # per-lang blocking) yet DOES form its own GROUP BY partition
         langs[12] = None
+        # whitespace-only lang (r10): unlike NULL it IS a real equi-join
+        # key and a real GROUP BY value — two members so per-lang
+        # blocking genuinely pairs docs under "   " while every
+        # trim/normalize-free path keeps it distinct from both '' and
+        # NULL on both engines
+        langs[15] = langs[17] = "   "
         sources[13] = None
         # out-of-scheme source name: weight parsing must degrade to 0
         # on BOTH engines (Spark ANSI-off cast NULLs, DuckDB needs
