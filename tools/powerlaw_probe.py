@@ -63,6 +63,16 @@ def gen_zipf_docs(out_dir: str, n_docs: int, *, vocab: int, s: float,
     tok_words = words[toks]
     offs = np.concatenate([[0], np.cumsum(lens)])
     texts = [" ".join(tok_words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    # plant real containment pairs (1% of docs): doc i+2 becomes the
+    # first ~60% of doc i's tokens — a token-sequence prefix's bigrams
+    # are a subset of the full doc's, so C(i+2 → i) = 1.0 ≥ 0.8. Same
+    # stride parity keeps the pair within one lang (langs alternate by
+    # index and blocking is per-lang). The random Zipf corpus alone
+    # yields none, and an empty pair set would make the
+    # capped-vs-uncapped equality check vacuous.
+    for i in range(0, n_docs - 2, 100):
+        toks_i = texts[i].split()
+        texts[i + 2] = " ".join(toks_i[: max(2, int(len(toks_i) * 0.6))])
     langs = ["en" if i % 2 else "de" for i in range(n_docs)]
     pq.write_table(
         pa.table({
@@ -99,14 +109,20 @@ def df_shape(spark, probe_dir: str, caps: list[int]) -> dict:
     return row
 
 
-def timed_count(df, reps: int) -> tuple[float, int]:
-    df.count()  # warm
+def timed_frame(build, reps: int) -> tuple[float, int, object]:
+    """Time CONSTRUCTION + count: containment_frame ends in an EAGER
+    localCheckpoint, so the miner's work happens at build time — a
+    count() of the returned frame would measure a finished
+    checkpoint, not the pipeline."""
+    frame = build()
+    frame.count()  # warm: file listing, codegen, df stats
     best, n = float("inf"), 0
     for _ in range(reps):
         t0 = time.time()
-        n = df.count()
+        frame = build()
+        n = frame.count()
         best = min(best, time.time() - t0)
-    return best, n
+    return best, n, frame
 
 
 def main() -> int:
@@ -143,9 +159,10 @@ def main() -> int:
             from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
             variants += [(f"cap={c}", c) for c in args.caps]
         for label, cap in variants:
-            frame = (dedup_containment(spark, probe_dir) if cap is None
-                     else containment_frame(spark, probe_dir, df_cap=cap))
-            best, n_pairs = timed_count(frame, args.reps)
+            def build(c=cap, d=probe_dir):
+                return (dedup_containment(spark, d) if c is None
+                        else containment_frame(spark, d, df_cap=c))
+            best, n_pairs, frame = timed_frame(build, args.reps)
             if n_docs == args.docs[0]:
                 pairs = {(r.doc_src, r.doc_dst, round(r.containment, 9))
                          for r in frame.collect()}
