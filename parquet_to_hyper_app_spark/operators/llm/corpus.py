@@ -686,8 +686,36 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAIN_T = 0.8
 
 
+#: auto verify selection (SCALE.md round-10): cap value 64 won at or
+#: past the crossover at every probed scale (256 admits ~16x more
+#: stream rows per head gram); the ratio threshold sits inside the
+#: measured gap — Σdf²/Σdf ≈ 100 still favors uncapped (d5000: 9.4s
+#: vs 11.7s), ≈ 200 favors the cap 3.0× (d10000) — and the bounded
+#: testdata reads ≈ 8. Σdf²/Σdf is the df-weighted mean df of a gram
+#: occurrence: "the average occurrence sits in a gram seen ~N times".
+_AUTO_DF_CAP = 64
+_AUTO_CAP_RATIO = 128.0
+
+
+def _auto_df_cap(df_tab: DataFrame) -> int | None:
+    """Choose the containment verify from the corpus df distribution:
+    None (pure count join) on bounded-df vocabularies, `_AUTO_DF_CAP`
+    once Σdf²/Σdf crosses the measured boundary where the count
+    join's pre-combine stream (Σdf² rows) starts to dwarf the corpus.
+    One tiny agg over the df table the miner already computes — at
+    100 TB this is the statistic a deployment should branch on rather
+    than hand-picking per corpus (tools/powerlaw_probe.py measured
+    the two regimes; docs/SCALE.md "Round-10")."""
+    row = df_tab.agg(
+        F.sum(F.col("df") * F.col("df")).alias("s2"), F.sum("df").alias("s1")
+    ).first()
+    if row is None or not row["s1"]:
+        return None
+    return _AUTO_DF_CAP if row["s2"] / row["s1"] > _AUTO_CAP_RATIO else None
+
+
 def containment_frame(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+    spark: SparkSession, sf_dir: str, df_cap: int | str | None = None
 ) -> DataFrame:
     """The containment engine behind `dedup_containment`, with the
     VERIFY strategy selectable by ``df_cap`` (the semdedup_frame(k)
@@ -704,6 +732,8 @@ def containment_frame(
     exactly. common = count_low + |high_src ∩ high_dst| partitions
     each doc's gram set by df, so the two variants are pair-for-pair
     identical (asserted in tests and by tools/powerlaw_probe.py).
+    ``df_cap="auto"`` picks between them from the corpus's own df
+    distribution (`_auto_df_cap`'s measured Σdf²/Σdf rule).
 
     Candidate scheme (prefix filter, containment form): rank each
     doc's bigrams by (document frequency asc, hash) within its lang —
@@ -758,6 +788,12 @@ def containment_frame(
     grams = bigram_hash_frame(docs)
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
     df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(df_cap, str):
+        if df_cap != "auto":
+            raise ValueError(f"df_cap must be an int, None, or 'auto', got {df_cap!r}")
+        # one extra agg job over the persisted gram frame; decides the
+        # verify from the corpus itself (docstring + _auto_df_cap)
+        df_cap = _auto_df_cap(df_tab)
     ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
         "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
     )

@@ -751,6 +751,46 @@ def test_containment_df_cap_hybrid_matches_uncapped(spark):
         assert got == base, f"df_cap={cap} diverges"
 
 
+def test_containment_auto_cap_rule(spark):
+    """`_auto_df_cap` branches on the measured Σdf²/Σdf crossover
+    (SCALE.md round-10): a bounded-df table stays on the pure count
+    join (None); a power-law head pushes the ratio past the boundary
+    and selects the cap. 'auto' on the bounded smoke corpus must
+    reproduce the registered output; a junk string raises."""
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+        containment_frame,
+        dedup_containment,
+    )
+
+    bounded = spark.createDataFrame(
+        [("en", i, 1 + i % 5) for i in range(100)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(bounded) is None
+    powerlaw = spark.createDataFrame(
+        [("en", 0, 100_000)] + [("en", i, 2) for i in range(1, 500)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(powerlaw) == _AUTO_DF_CAP
+    empty = spark.createDataFrame([], "lang string, h long, df long")
+    assert _auto_df_cap(empty) is None
+
+    base = {
+        (r.doc_src, r.doc_dst, round(r.containment, 9))
+        for r in dedup_containment(spark, SF_SMOKE).collect()
+    }
+    auto = {
+        (r.doc_src, r.doc_dst, round(r.containment, 9))
+        for r in containment_frame(spark, SF_SMOKE, df_cap="auto").collect()
+    }
+    assert auto == base
+    with _pytest.raises(ValueError, match="auto"):
+        containment_frame(spark, SF_SMOKE, df_cap="huge")
+
+
 def test_dedup_substring_flags_shared_span(spark, tmp_path):
     """Two docs sharing a long token window are both flagged (their
     grams are mostly shared); a distinct doc has zero dup grams; a

@@ -137,6 +137,12 @@ def main() -> int:
     ap.add_argument("--skip-uncapped-above", type=int, default=0,
                     help="doc count above which the uncapped run is skipped "
                          "(0 = never skip)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the generated corpora for a follow-up run")
+    ap.add_argument("--jaccard", action="store_true",
+                    help="also time dedup_ngram_jaccard per scale — does the "
+                         "J>=0.5 miner's array-verify decision hold under "
+                         "power-law df?")
     args = ap.parse_args()
 
     from parquet_to_hyper_app_spark.operators.llm.corpus import dedup_containment
@@ -158,12 +164,19 @@ def main() -> int:
         if args.caps:
             from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
             variants += [(f"cap={c}", c) for c in args.caps]
+        if args.jaccard:
+            variants.append(("jaccard", "jaccard"))
         for label, cap in variants:
             def build(c=cap, d=probe_dir):
+                if c == "jaccard":
+                    from parquet_to_hyper_app_spark.operators.llm.dedup import (
+                        dedup_ngram_jaccard,
+                    )
+                    return dedup_ngram_jaccard(spark, d)
                 return (dedup_containment(spark, d) if c is None
                         else containment_frame(spark, d, df_cap=c))
             best, n_pairs, frame = timed_frame(build, args.reps)
-            if n_docs == args.docs[0]:
+            if cap != "jaccard" and n_docs == args.docs[0]:
                 pairs = {(r.doc_src, r.doc_dst, round(r.containment, 9))
                          for r in frame.collect()}
                 if baseline_pairs is None:
@@ -188,7 +201,8 @@ def main() -> int:
         print(f"{n_docs:>7} {label:>10} {best:>8.2f}s {n_pairs:>8} "
               f"{shape['sum_df2']:>14,} {shape['max_df']:>7} {heads}")
 
-    shutil.rmtree(base, ignore_errors=True)
+    if not args.keep:
+        shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     return 0
 
