@@ -751,6 +751,52 @@ def test_containment_df_cap_hybrid_matches_uncapped(spark):
         assert got == base, f"df_cap={cap} diverges"
 
 
+def test_containment_df_cap_hybrid_randomized(spark, tmp_path):
+    """The capped/uncapped equality holds on random corpora, not just
+    the curated smoke plants: three seeded random doc sets (overlapping
+    token windows force real shared grams and containment pairs),
+    checked at a degenerate, a mid, and an above-max cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
+
+    for seed in (3, 5, 7):
+        rng = np.random.default_rng(seed)
+        vocab = [f"t{i}" for i in range(30)]
+        texts = []
+        for i in range(40):
+            k = int(rng.integers(4, 20))
+            texts.append(" ".join(vocab[int(j)] for j in rng.integers(0, 30, k)))
+        # embed some docs inside longer ones so pairs exist
+        for i in range(0, 36, 6):
+            texts[i + 1] = texts[i] + " " + " ".join(
+                vocab[int(j)] for j in rng.integers(0, 30, 2)
+            )
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(1, 41), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 40),
+                "source": pa.array(["x"] * 40),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        results = [
+            {
+                (r.doc_src, r.doc_dst, round(r.containment, 9))
+                for r in containment_frame(spark, str(d), df_cap=cap).collect()
+            }
+            for cap in (None, 1, 5, 10**9)
+        ]
+        assert results[0], f"seed {seed}: no pairs — the plant failed"
+        assert all(s == results[0] for s in results[1:]), f"seed {seed} diverges"
+
+
 def test_containment_auto_cap_rule(spark):
     """`_auto_df_cap` branches on the measured Σdf²/Σdf crossover
     (SCALE.md round-10): a bounded-df table stays on the pure count
