@@ -30,6 +30,7 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
     UNIFORM_VEC_CTES,
     ann_audit_gate_sql,
     bucket_topk,
+    embedding_count_for,
     enforce_recall_floor,
     uniform_vectors_for,
     with_recall_audit,
@@ -639,7 +640,17 @@ def _semdedup_oracle() -> str:
     """
 
 
-def semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+#: production SemDeDup's k ∝ n design point: the r9 scale-k probe
+#: (tools/semdedup_k_probe.py) scaled k = _KM_K·K against n = 500·K —
+#: expected cluster size n/k ≈ 31 — and measured the curve flat to
+#: x128. ``k="auto"`` reproduces that measured ratio from the
+#: corpus's own (cached) count instead of asking the caller to pick.
+_SEMDEDUP_TARGET_CLUSTER = 32
+
+
+def semdedup_frame(
+    spark: SparkSession, sf_dir: str, k: int | str | None = None
+) -> DataFrame:
     """The SemDeDup engine behind `dedup_semantic`, with the quantizer
     width as a parameter.
 
@@ -648,7 +659,10 @@ def semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> Da
     JVM expression — the bitwise cross-engine path the DuckDB oracle
     replays. An explicit ``k`` is the PRODUCTION-SCALE path: SemDeDup
     (Abbas et al. 2023 §3) grows k ∝ n so expected cluster size n/k
-    stays bounded; at that width a k·dim-literal expression stops
+    stays bounded (``k="auto"`` applies that rule at the probe's
+    measured n/k ≈ 32 design point from the cached corpus count,
+    falling back to the literal path when the corpus is small enough);
+    at that width a k·dim-literal expression stops
     being a sane Catalyst plan, so assignment runs as an Arrow-batched
     pandas UDF over `_assign_ids_np` (matmul prefilter + the SAME
     exact-fold knife re-rank as training — the two paths agree
@@ -663,6 +677,15 @@ def semdedup_frame(spark: SparkSession, sf_dir: str, k: int | None = None) -> Da
 
     from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
 
+    if isinstance(k, str):
+        if k != "auto":
+            raise ValueError(f"semdedup k must be an int, None, or 'auto', got {k!r}")
+        # k ∝ n at the probe-measured n/k design point; a corpus small
+        # enough that the rule lands at (or under) the default width
+        # takes the literal oracle-replayable path, identically to
+        # k=None — auto only widens, it never narrows
+        wide = -(-embedding_count_for(spark, sf_dir) // _SEMDEDUP_TARGET_CLUSTER)
+        k = None if wide <= _KM_K else wide
     if k is not None and k <= 0:
         # the path selector below routes on `k is None`; a non-positive
         # k would otherwise train the default width yet claim an

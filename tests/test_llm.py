@@ -914,6 +914,48 @@ def test_semdedup_scale_k_bounds_cluster_size(spark):
     assert max(r["count"] for r in wide) < max(r["count"] for r in fixed)
 
 
+def test_semdedup_auto_k(spark, tmp_path):
+    """k='auto' applies the measured k ∝ n rule: on the 500-vector
+    smoke corpus ceil(500/32) = 16 ≤ _KM_K, so auto takes the literal
+    path and must equal the registered output; on a 2000-vector corpus
+    it widens to ceil(2000/32) = 63 and must be bit-identical to an
+    explicit k=63. Junk strings raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.features import semdedup_frame
+
+    lit = {r.vec_id: (r.cluster_id, r.kept)
+           for r in semdedup_frame(spark, SF_SMOKE).collect()}
+    auto = {r.vec_id: (r.cluster_id, r.kept)
+            for r in semdedup_frame(spark, SF_SMOKE, k="auto").collect()}
+    assert auto == lit and len(lit) > 0
+
+    rng = np.random.default_rng(41)
+    m = rng.normal(size=(2000, 8)).astype("float32")
+    d = tmp_path / "wide"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(2000), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m],
+                                  pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    wide_auto = {r.vec_id: (r.cluster_id, r.kept)
+                 for r in semdedup_frame(spark, str(d), k="auto").collect()}
+    wide_explicit = {r.vec_id: (r.cluster_id, r.kept)
+                     for r in semdedup_frame(spark, str(d), k=63).collect()}
+    assert wide_auto == wide_explicit and len(wide_auto) == 2000
+    assert all(0 <= c < 63 for c, _ in wide_auto.values())
+
+    with _pytest.raises(ValueError, match="auto"):
+        semdedup_frame(spark, SF_SMOKE, k="big")
+
+
 def test_semdedup_frame_rejects_nonpositive_k(spark):
     """k=0 must not silently train the default width while taking the
     explicit-k UDF path (ADVICE r9): non-positive k raises."""

@@ -143,6 +143,12 @@ def main() -> int:
                     help="also time dedup_ngram_jaccard per scale — does the "
                          "J>=0.5 miner's array-verify decision hold under "
                          "power-law df?")
+    ap.add_argument("--miners", nargs="*", default=[],
+                    choices=["substring", "minhash", "simhash"],
+                    help="additionally time these miners per scale — their "
+                         "shuffle keys are uniform hashes (substring/minhash) "
+                         "or hamming buckets (simhash), so the analysis says "
+                         "df-independent; this measures it")
     args = ap.parse_args()
 
     from parquet_to_hyper_app_spark.operators.llm.corpus import dedup_containment
@@ -166,17 +172,23 @@ def main() -> int:
             variants += [(f"cap={c}", c) for c in args.caps]
         if args.jaccard:
             variants.append(("jaccard", "jaccard"))
+        for m in args.miners:
+            variants.append((m, m))
         for label, cap in variants:
             def build(c=cap, d=probe_dir):
-                if c == "jaccard":
-                    from parquet_to_hyper_app_spark.operators.llm.dedup import (
-                        dedup_ngram_jaccard,
-                    )
-                    return dedup_ngram_jaccard(spark, d)
+                if isinstance(c, str) and c != "auto":
+                    from parquet_to_hyper_app_spark.operators.llm import corpus, dedup
+                    fn = {
+                        "jaccard": dedup.dedup_ngram_jaccard,
+                        "substring": corpus.dedup_substring,
+                        "minhash": dedup.dedup_minhash_lsh,
+                        "simhash": dedup.dedup_simhash,
+                    }[c]
+                    return fn(spark, d)
                 return (dedup_containment(spark, d) if c is None
                         else containment_frame(spark, d, df_cap=c))
             best, n_pairs, frame = timed_frame(build, args.reps)
-            if cap != "jaccard" and n_docs == args.docs[0]:
+            if not isinstance(cap, str) and n_docs == args.docs[0]:
                 pairs = {(r.doc_src, r.doc_dst, round(r.containment, 9))
                          for r in frame.collect()}
                 if baseline_pairs is None:
