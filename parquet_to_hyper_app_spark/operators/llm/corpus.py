@@ -702,10 +702,13 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     None (pure count join) on bounded-df vocabularies, `_AUTO_DF_CAP`
     once Σdf²/Σdf crosses the measured boundary where the count
     join's pre-combine stream (Σdf² rows) starts to dwarf the corpus.
-    One tiny agg over the df table the miner already computes — at
-    100 TB this is the statistic a deployment should branch on rather
-    than hand-picking per corpus (tools/powerlaw_probe.py measured
-    the two regimes; docs/SCALE.md "Round-10")."""
+    One agg over the df table the miner already computes — at 100 TB
+    this is the statistic a deployment should branch on rather than
+    hand-picking per corpus (tools/powerlaw_probe.py measured the two
+    regimes; docs/SCALE.md "Round-10"). The decision is a separate
+    action, so the caller persists df_tab around it; the measured
+    all-in overhead vs an explicit cap is ~15-25% at the d20000 Zipf
+    point — pass the int when the regime is already known."""
     row = df_tab.agg(
         F.sum(F.col("df") * F.col("df")).alias("s2"), F.sum("df").alias("s1")
     ).first()
@@ -788,11 +791,17 @@ def containment_frame(
     grams = bigram_hash_frame(docs)
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
     df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    cached_df_tab = None
     if isinstance(df_cap, str):
         if df_cap != "auto":
             raise ValueError(f"df_cap must be an int, None, or 'auto', got {df_cap!r}")
-        # one extra agg job over the persisted gram frame; decides the
-        # verify from the corpus itself (docstring + _auto_df_cap)
+        # the stats agg is a separate ACTION, so without a persist the
+        # main query would recompute the df_tab shuffle from scratch
+        # (measured ~2.5-3s of ~10s at the d20000 Zipf point); caching
+        # it lets the decision agg and the ranking/verify joins share
+        # one computation. Registered (None) and explicit-int paths
+        # never pay the cache — their plans are untouched.
+        cached_df_tab = df_tab = df_tab.persist()
         df_cap = _auto_df_cap(df_tab)
     ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
         "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
@@ -909,6 +918,8 @@ def containment_frame(
     # ngram_jaccard_pairs — review r6)
     out = out.localCheckpoint(eager=True)
     grams.unpersist()
+    if cached_df_tab is not None:
+        cached_df_tab.unpersist()
     return out
 
 
