@@ -708,13 +708,25 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     regimes; docs/SCALE.md "Round-10"). The decision is a separate
     action, so the caller persists df_tab around it; the measured
     all-in overhead vs an explicit cap is ~15-25% at the d20000 Zipf
-    point — pass the int when the regime is already known."""
-    row = df_tab.agg(
-        F.sum(F.col("df") * F.col("df")).alias("s2"), F.sum("df").alias("s1")
-    ).first()
-    if row is None or not row["s1"]:
+    point — pass the int when the regime is already known.
+
+    The ratio is evaluated PER LANGUAGE and the cap selected if ANY
+    language crosses it (ADVICE r10): df and the verify stream are
+    keyed (lang, gram), so the OOM driver is the worst per-lang Σdf²
+    — one power-law language diluted by a much larger bounded-df one
+    keeps the GLOBAL ratio under the threshold while its own stream
+    still explodes. Languages whose share of the corpus is negligible
+    can't OOM anything, so the per-lang max is the conservative-correct
+    statistic; the single-lang case reduces to the r10 global rule."""
+    row = (
+        df_tab.groupBy("lang")
+        .agg(F.sum(F.col("df") * F.col("df")).alias("s2"), F.sum("df").alias("s1"))
+        .agg(F.max(F.col("s2") / F.col("s1")).alias("r"))
+        .first()
+    )
+    if row is None or row["r"] is None:
         return None
-    return _AUTO_DF_CAP if row["s2"] / row["s1"] > _AUTO_CAP_RATIO else None
+    return _AUTO_DF_CAP if row["r"] > _AUTO_CAP_RATIO else None
 
 
 def containment_frame(
@@ -789,138 +801,160 @@ def containment_frame(
     # Jaccard and containment miners. Returned persisted (read 3x
     # here: df ranking, source prefixes, verify arrays).
     grams = bigram_hash_frame(docs)
-    occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
-    df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
     cached_df_tab = None
-    if isinstance(df_cap, str):
-        if df_cap != "auto":
-            raise ValueError(f"df_cap must be an int, None, or 'auto', got {df_cap!r}")
-        # the stats agg is a separate ACTION, so without a persist the
-        # main query would recompute the df_tab shuffle from scratch
-        # (measured ~2.5-3s of ~10s at the d20000 Zipf point); caching
-        # it lets the decision agg and the ranking/verify joins share
-        # one computation. Registered (None) and explicit-int paths
-        # never pay the cache — their plans are untouched.
-        cached_df_tab = df_tab = df_tab.persist()
-        df_cap = _auto_df_cap(df_tab)
-    ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
-        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
-    )
-    prefix_len = (
-        F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
-    ).cast("int")
-    src_pref = ranked.filter(F.col("pos") < prefix_len).select(
-        F.col("doc_id").alias("src"), "lang", F.col("h").alias("ph"), F.col("n").alias("ns")
-    )
-    dst_index = occ.select(
-        F.col("doc_id").alias("dst"), "lang", F.col("h").alias("ph"), F.col("n").alias("nd")
-    )
-    cands = (
-        src_pref.join(dst_index, ["lang", "ph"])
-        # size prune, lossless: C ≥ t ⟹ n_dst ≥ |∩| ≥ ⌈t·n_src⌉ — a
-        # target with fewer distinct grams than 80% of the source can
-        # never contain it, so the pair dies inside the join before
-        # the distinct/verify stages materialize it
-        .filter((F.col("src") != F.col("dst")) & (F.col("nd") >= F.ceil(F.col("ns") * F.lit(_CONTAIN_T))))
-        .select("src", "dst", "ns")
-    )
-    # pair dedup at a PINNED, INPUT-SCALED partition width, not
-    # .distinct(): the candidate rows are tiny in bytes and AQE's
-    # size-based coalescing — blind to the downstream verify join —
-    # would squeeze it onto a handful of cores (the trap
-    # ngram_jaccard_pairs measured, review r6); the width itself
-    # scales with gram volume (miner_partitions, r9) because the
-    # session conf is sized for the bench SF and was measured
-    # spilling one doubling past it. ns rides along (functionally
-    # dependent on src) so the verify needs no extra n_src join. The
-    # dedup partitions on the UNORDERED key (least, greatest) that the
-    # verify join below probes on, and dedups on (pl, pg, src) — a
-    # bijection of (src, dst) given src ≠ dst — rather than (src, dst)
-    # itself: Catalyst can't prove pl/pg are functions of src/dst, so
-    # a (src, dst) dedup over (pl, pg) partitioning would insert a
-    # second exchange at conf width and lose the pinned width; the
-    # prefix-keyed dedup reuses the one exchange as-is.
-    n_parts = miner_partitions(grams)
-    pl, pg = F.least("src", "dst").alias("pl"), F.greatest("src", "dst").alias("pg")
-    cands = (
-        cands.select("src", "dst", "ns", pl, pg)
-        .repartition(n_parts, "pl", "pg")
-        .dropDuplicates(["pl", "pg", "src"])
-    )
-    if df_cap is None:
-        # gram-level co-occurrence count verify (unordered_cooccurrence,
-        # shared with ngram_jaccard_pairs): |src ∩ dst| in 24-byte rows,
-        # replacing the r8 array-carrying verify (the measured x64 byte
-        # wall; see docstring). Candidates inner-join losslessly: every
-        # candidate shares ≥1 gram by construction, so its pair appears;
-        # both orientations of an ordered candidate probe the same
-        # unordered count.
-        cooc = unordered_cooccurrence(occ, n_parts)
-        verified = cands.join(cooc, ["pl", "pg"]).withColumn(
-            "containment", F.col("common").cast("double") / F.col("ns")
+    try:
+        occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
+        df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+        if isinstance(df_cap, str):
+            if df_cap != "auto":
+                raise ValueError(f"df_cap must be an int, None, or 'auto', got {df_cap!r}")
+            # the stats agg is a separate ACTION, so without a persist the
+            # main query would recompute the df_tab shuffle from scratch
+            # (measured ~2.5-3s of ~10s at the d20000 Zipf point); caching
+            # it lets the decision agg and the ranking/verify joins share
+            # one computation. The registered (None) path never pays the
+            # cache — its plan is untouched.
+            cached_df_tab = df_tab = df_tab.persist()
+            df_cap = _auto_df_cap(df_tab)
+        elif df_cap is not None:
+            # bool is an int subclass: df_cap=True would silently run as
+            # cap=1; df_cap < 1 would route EVERY gram to the per-doc
+            # 'high' arrays — the exact r8 array-carrying byte wall the
+            # hybrid replaces — while still returning correct rows, an
+            # invisible regression until a shuffle saturates (ADVICE r10)
+            if isinstance(df_cap, bool) or not isinstance(df_cap, int):
+                raise ValueError(f"df_cap must be an int, None, or 'auto', got {df_cap!r}")
+            if df_cap < 1:
+                raise ValueError(f"df_cap must be >= 1, got {df_cap}")
+            # the explicit-int hybrid reads df_tab twice (the `ranked`
+            # join and the `occ_df` verify join) — without the persist the
+            # df groupBy shuffle recomputes once per consumer, the same
+            # measured ~2.5-3s the auto path's cache already saves
+            # (VERDICT r10 item 4); same unpersist lifecycle below
+            cached_df_tab = df_tab = df_tab.persist()
+        ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
+            "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
         )
-    else:
-        # df-capped hybrid verify (see docstring): the count join sees
-        # only grams with df ≤ cap, so its pre-combine stream is
-        # bounded by cap·Σdf rows instead of Σdf²; the high-df
-        # remainder — per doc at most the vocabulary head above the
-        # cap — travels as ONE small sorted array per candidate side
-        # and is intersected exactly. The cooc join must be LEFT here:
-        # a candidate pair introduced by a low-df prefix gram can
-        # still share zero grams below the cap only when the prefix
-        # gram itself is above it, and a pair whose every shared gram
-        # is high-df must survive to the array term.
-        occ_df = occ.join(df_tab, ["lang", "h"])
-        cooc_low = unordered_cooccurrence(
-            occ_df.filter(F.col("df") <= df_cap).select("doc_id", "lang", "h"),
-            n_parts,
+        prefix_len = (
+            F.col("n") - F.ceil(F.col("n") * F.lit(_CONTAIN_T)) + 1
+        ).cast("int")
+        src_pref = ranked.filter(F.col("pos") < prefix_len).select(
+            F.col("doc_id").alias("src"), "lang", F.col("h").alias("ph"), F.col("n").alias("ns")
         )
-        high = (
-            occ_df.filter(F.col("df") > df_cap)
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("h")).alias("hi"))
+        dst_index = occ.select(
+            F.col("doc_id").alias("dst"), "lang", F.col("h").alias("ph"), F.col("n").alias("nd")
         )
-        no_high = F.array().cast("array<bigint>")
-        verified = (
-            cands.join(cooc_low, ["pl", "pg"], "left")
-            .join(
-                high.select(F.col("doc_id").alias("src"), F.col("hi").alias("hi_s")),
-                "src",
-                "left",
-            )
-            .join(
-                high.select(F.col("doc_id").alias("dst"), F.col("hi").alias("hi_d")),
-                "dst",
-                "left",
-            )
-            .withColumn(
-                "common",
-                F.coalesce(F.col("common"), F.lit(0))
-                + F.size(
-                    F.array_intersect(
-                        F.coalesce(F.col("hi_s"), no_high),
-                        F.coalesce(F.col("hi_d"), no_high),
-                    )
-                ),
-            )
-            .withColumn(
+        cands = (
+            src_pref.join(dst_index, ["lang", "ph"])
+            # size prune, lossless: C ≥ t ⟹ n_dst ≥ |∩| ≥ ⌈t·n_src⌉ — a
+            # target with fewer distinct grams than 80% of the source can
+            # never contain it, so the pair dies inside the join before
+            # the distinct/verify stages materialize it
+            .filter((F.col("src") != F.col("dst")) & (F.col("nd") >= F.ceil(F.col("ns") * F.lit(_CONTAIN_T))))
+            .select("src", "dst", "ns")
+        )
+        # pair dedup at a PINNED, INPUT-SCALED partition width, not
+        # .distinct(): the candidate rows are tiny in bytes and AQE's
+        # size-based coalescing — blind to the downstream verify join —
+        # would squeeze it onto a handful of cores (the trap
+        # ngram_jaccard_pairs measured, review r6); the width itself
+        # scales with gram volume (miner_partitions, r9) because the
+        # session conf is sized for the bench SF and was measured
+        # spilling one doubling past it. ns rides along (functionally
+        # dependent on src) so the verify needs no extra n_src join. The
+        # dedup partitions on the UNORDERED key (least, greatest) that the
+        # verify join below probes on, and dedups on (pl, pg, src) — a
+        # bijection of (src, dst) given src ≠ dst — rather than (src, dst)
+        # itself: Catalyst can't prove pl/pg are functions of src/dst, so
+        # a (src, dst) dedup over (pl, pg) partitioning would insert a
+        # second exchange at conf width and lose the pinned width; the
+        # prefix-keyed dedup reuses the one exchange as-is.
+        n_parts = miner_partitions(grams)
+        pl, pg = F.least("src", "dst").alias("pl"), F.greatest("src", "dst").alias("pg")
+        cands = (
+            cands.select("src", "dst", "ns", pl, pg)
+            .repartition(n_parts, "pl", "pg")
+            .dropDuplicates(["pl", "pg", "src"])
+        )
+        if df_cap is None:
+            # gram-level co-occurrence count verify (unordered_cooccurrence,
+            # shared with ngram_jaccard_pairs): |src ∩ dst| in 24-byte rows,
+            # replacing the r8 array-carrying verify (the measured x64 byte
+            # wall; see docstring). Candidates inner-join losslessly: every
+            # candidate shares ≥1 gram by construction, so its pair appears;
+            # both orientations of an ordered candidate probe the same
+            # unordered count.
+            cooc = unordered_cooccurrence(occ, n_parts)
+            verified = cands.join(cooc, ["pl", "pg"]).withColumn(
                 "containment", F.col("common").cast("double") / F.col("ns")
             )
+        else:
+            # df-capped hybrid verify (see docstring): the count join sees
+            # only grams with df ≤ cap, so its pre-combine stream is
+            # bounded by cap·Σdf rows instead of Σdf²; the high-df
+            # remainder — per doc at most the vocabulary head above the
+            # cap — travels as ONE small sorted array per candidate side
+            # and is intersected exactly. The cooc join must be LEFT here:
+            # a candidate pair introduced by a low-df prefix gram can
+            # still share zero grams below the cap only when the prefix
+            # gram itself is above it, and a pair whose every shared gram
+            # is high-df must survive to the array term.
+            occ_df = occ.join(df_tab, ["lang", "h"])
+            cooc_low = unordered_cooccurrence(
+                occ_df.filter(F.col("df") <= df_cap).select("doc_id", "lang", "h"),
+                n_parts,
+            )
+            high = (
+                occ_df.filter(F.col("df") > df_cap)
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("h")).alias("hi"))
+            )
+            no_high = F.array().cast("array<bigint>")
+            verified = (
+                cands.join(cooc_low, ["pl", "pg"], "left")
+                .join(
+                    high.select(F.col("doc_id").alias("src"), F.col("hi").alias("hi_s")),
+                    "src",
+                    "left",
+                )
+                .join(
+                    high.select(F.col("doc_id").alias("dst"), F.col("hi").alias("hi_d")),
+                    "dst",
+                    "left",
+                )
+                .withColumn(
+                    "common",
+                    F.coalesce(F.col("common"), F.lit(0))
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce(F.col("hi_s"), no_high),
+                            F.coalesce(F.col("hi_d"), no_high),
+                        )
+                    ),
+                )
+                .withColumn(
+                    "containment", F.col("common").cast("double") / F.col("ns")
+                )
+            )
+        out = verified.filter(F.col("containment") >= _CONTAIN_T).select(
+            F.col("src").alias("doc_src"),
+            F.col("dst").alias("doc_dst"),
+            "containment",
         )
-    out = verified.filter(F.col("containment") >= _CONTAIN_T).select(
-        F.col("src").alias("doc_src"),
-        F.col("dst").alias("doc_dst"),
-        "containment",
-    )
-    # materialize the (small) pair set eagerly so the corpus-wide
-    # hash-array cache releases NOW instead of pinning executor
-    # storage for the session lifetime (same lifecycle as
-    # ngram_jaccard_pairs — review r6)
-    out = out.localCheckpoint(eager=True)
-    grams.unpersist()
-    if cached_df_tab is not None:
-        cached_df_tab.unpersist()
-    return out
+        # materialize the (small) pair set eagerly so the corpus-wide
+        # hash-array cache releases NOW instead of pinning executor
+        # storage for the session lifetime (same lifecycle as
+        # ngram_jaccard_pairs — review r6)
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        # release the corpus-wide caches on BOTH paths: the eager
+        # checkpoint above means success no longer needs them, and a
+        # failed decision agg / analysis error / main query must not
+        # pin executor storage for the session lifetime (ADVICE r10)
+        grams.unpersist()
+        if cached_df_tab is not None:
+            cached_df_tab.unpersist()
 
 
 @query(

@@ -169,6 +169,9 @@ def text_tfidf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 16
 _KM_ITERS = 3
 _KM_SAMPLE = 2048
+#: distributed-trainer iterations (k > _KM_SAMPLE only; no oracle
+#: replays this path, so the budget is a quality knob, not a contract)
+_KM_DIST_ITERS = 20
 
 
 def _sql_double(x: float) -> str:
@@ -351,14 +354,58 @@ def _km_trained_assignment(spark: SparkSession, sf_dir: str, k: int = _KM_K):
     `similarity.uniform_vectors` ↔ `UNIFORM_VEC_CTES`, shared by every
     search/near-dup consumer of the embeddings table.
     """
-    emb = uniform_vectors_for(spark, sf_dir)
-    v = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    emb, v = _double_vectors(spark, sf_dir)
     sample = [
         (r.vec_id, list(r.e)) for r in v.orderBy("vec_id").limit(_KM_SAMPLE).collect()
     ]
     return emb, v, lloyd_train(sample, k=k)
+
+
+def _double_vectors(spark: SparkSession, sf_dir: str):
+    """(emb, v): the corpus-dimensionality vectors and their double-cast
+    projection — the one projection every quantizer trainer consumes,
+    extracted so the sample path and the distributed path cannot drift."""
+    emb = uniform_vectors_for(spark, sf_dir)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return emb, v
+
+
+def _distributed_train(v, k: int) -> list[list[float]]:
+    """Distributed quantizer training for widths past the ordered
+    sample's trainable limit (k > ``_KM_SAMPLE``): MLlib k-means||
+    (seeded, fixed maxIter) over the FULL vector frame, returning plain
+    centroid lists so assignment still runs through the engine's own
+    exact contract (`_assign_ids_np`'s matmul prefilter + exact-fold
+    knife) — MLlib only picks WHERE the centroids sit, never how a
+    vector ranks against them.
+
+    Two deliberate contract differences from `lloyd_train`, both
+    inherent to the regime: (a) training is NOT bit-replayable by the
+    DuckDB oracle (k-means|| init is distributed sampling), which is
+    why the registered key never routes here — this is the production
+    path for corpora whose k ∝ n exceeds any single-node sample; (b)
+    non-finite vectors are excluded from TRAINING only (a NaN feature
+    poisons every MLlib center it touches), while assignment still
+    covers them via the exact fold — training is a heuristic placement,
+    assignment is the semantics. k clamps to the finite-vector count
+    (MLlib requires k ≤ n); returns [] when no finite vectors exist so
+    the caller can fall back to the sample trainer's degenerate-corpus
+    handling."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    finite = v.filter(
+        F.forall("e", lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))))
+    )
+    n = finite.count()
+    if n == 0:
+        return []
+    k = min(k, n)
+    feats = finite.select(array_to_vector(F.col("e")).alias("features"))
+    model = KMeans(k=k, seed=0, maxIter=_KM_DIST_ITERS).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def _assign_ids_np(mats, cents: list[list[float]]):
@@ -666,12 +713,19 @@ def semdedup_frame(
     being a sane Catalyst plan, so assignment runs as an Arrow-batched
     pandas UDF over `_assign_ids_np` (matmul prefilter + the SAME
     exact-fold knife re-rank as training — the two paths agree
-    bit-for-bit, asserted in tests/test_llm.py). Training stays the
-    bounded ordered ``_KM_SAMPLE``-vector sample either way (k clamps to the
-    sample size), so the quantizer still fits on one node and the
-    centroids ship to executors inside the UDF closure (k·dim doubles
-    — ~0.5 MB at k=1024·dim=64; a real deployment would promote this
-    to a broadcast variable, same plan shape).
+    bit-for-bit, asserted in tests/test_llm.py), with the centroids
+    shipped as a Spark BROADCAST variable (k·dim doubles).
+
+    Training has TWO regimes (ADVICE r10 closed the silent gap between
+    them): k ≤ ``_KM_SAMPLE`` trains `lloyd_train` on the bounded
+    ordered sample — the bit-exact cross-engine contract; past that
+    the sample would CLAMP k to 2048 and silently stop honoring the
+    n/k ≈ 32 promise (clusters growing as n/2048, the exact
+    super-linear regime the r9 probe measured), so k > ``_KM_SAMPLE``
+    now trains DISTRIBUTED via `_distributed_train` (MLlib k-means||,
+    seeded) behind the identical assignment contract. Auto therefore
+    no longer saturates at n ≈ 65k (= _KM_SAMPLE·32): the resolved k
+    keeps scaling ∝ n and only training placement changes engines.
     """
     import numpy as np
 
@@ -691,12 +745,26 @@ def semdedup_frame(
         # k would otherwise train the default width yet claim an
         # explicit one on the UDF path (ADVICE r9)
         raise ValueError(f"semdedup k must be positive, got {k}")
-    _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=_KM_K if k is None else k)
+    if k is not None and k > _KM_SAMPLE:
+        _emb, v = _double_vectors(spark, sf_dir)
+        cents = _distributed_train(v, k)
+        if not cents:  # no finite vector to place a center on: the
+            # degenerate corpus the sample trainer already handles
+            # (clamps k, NaN-aware init) — fall back rather than crash
+            _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=k)
+    else:
+        _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=_KM_K if k is None else k)
     if not cents:  # empty embeddings table: typed empty result, no crash
         return spark.createDataFrame([], "vec_id BIGINT, cluster_id BIGINT, kept BOOLEAN")
     if k is None:
         assigned = v.withColumn("cluster_id", F.expr(_assign_expr(cents)).cast("long"))
     else:
+        # broadcast, not closure capture: at production widths the
+        # centroid slab is k·dim doubles (tens of MB once k ∝ n) and a
+        # closure would re-ship it inside EVERY serialized task instead
+        # of once per executor (VERDICT r10)
+        cents_bc = spark.sparkContext.broadcast(cents)
+
         @F.pandas_udf("long")
         def _assign_udf(e: pd.Series) -> pd.Series:
             import numpy as np
@@ -704,7 +772,7 @@ def semdedup_frame(
             if not len(e):
                 return pd.Series([], dtype="int64")
             mats = np.stack(e.to_numpy()).astype("float64")
-            return pd.Series(_assign_ids_np(mats, cents), dtype="int64")
+            return pd.Series(_assign_ids_np(mats, cents_bc.value), dtype="int64")
 
         assigned = v.withColumn("cluster_id", _assign_udf(F.col("e")))
 

@@ -1081,3 +1081,174 @@ def test_mixture_plan_rates_and_epochs(spark, tmp_path):
     total_tokens = sum(r.n_tokens for r in out.values())
     total_target = sum(r.target_tokens for r in out.values())
     assert abs(total_target - _MIX_BUDGET_FRAC * total_tokens) <= 2
+
+
+def test_semdedup_distributed_trainer_past_sample_clamp(spark, monkeypatch):
+    """ADVICE r10 (medium): past the ordered sample's trainable width
+    the old path clamped k to _KM_SAMPLE and silently broke the
+    n/k ≈ 32 promise. With the sample width pinned tiny, an explicit
+    k ABOVE it must now train distributed (MLlib) and actually deliver
+    more clusters than the clamp ever could — and the kept flags must
+    still satisfy the SemDeDup drop rule against the frame's OWN
+    assignment (the exact verify is shared machinery either way)."""
+    import numpy as np
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+    from parquet_to_hyper_app_spark.operators.llm.dedup import COSINE_T
+    from parquet_to_hyper_app_spark.operators.llm.similarity import uniform_vectors_for
+
+    monkeypatch.setattr(feats, "_KM_SAMPLE", 8)
+    out = {r.vec_id: r for r in feats.semdedup_frame(spark, SF_SMOKE, k=16).collect()}
+    n_valid = uniform_vectors_for(spark, SF_SMOKE).count()
+    assert len(out) == n_valid
+    clusters = {r.cluster_id for r in out.values()}
+    assert len(clusters) > 8, "k saturated at the old sample clamp"
+    assert all(0 <= c < 16 for c in clusters)
+    # self-consistency: dropped iff a smaller-id same-cluster vector
+    # sits at cos >= T (recomputed here in plain numpy)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in uniform_vectors_for(spark, SF_SMOKE).collect()
+    }
+    for vid, row in out.items():
+        peers = [u for u, r2 in out.items()
+                 if r2.cluster_id == row.cluster_id and u < vid]
+        a = vecs[vid]
+        has_near = any(
+            float(a @ vecs[u]) / (np.linalg.norm(a) * np.linalg.norm(vecs[u])) >= COSINE_T
+            for u in peers
+        )
+        assert row.kept == (not has_near), vid
+
+
+def test_semdedup_auto_past_clamp_keeps_widening(spark, monkeypatch):
+    """auto's k ∝ n rule must keep widening past the sample clamp
+    (the r10 saturation): with the sample pinned to 8 and the target
+    cluster size to 16, a 500-vector corpus resolves k = 32 > 8 and
+    the distributed trainer delivers it instead of clamping."""
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    monkeypatch.setattr(feats, "_KM_SAMPLE", 8)
+    monkeypatch.setattr(feats, "_SEMDEDUP_TARGET_CLUSTER", 16)
+    out = feats.semdedup_frame(spark, SF_SMOKE, k="auto")
+    clusters = {r.cluster_id for r in out.select("cluster_id").distinct().collect()}
+    assert len(clusters) > 8, "auto saturated at the sample clamp"
+    assert all(0 <= c < 32 for c in clusters)
+
+
+def test_distributed_train_contract(spark, tmp_path):
+    """_distributed_train: returns exactly k finite centroids; clamps
+    k to the finite-vector count; excludes non-finite vectors from
+    training (returns [] when none are finite, so the caller can fall
+    back)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _distributed_train,
+        _double_vectors,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(40, 4)).astype("float32")
+    rows = [r.tolist() for r in m]
+    rows[0][2] = float("nan")      # excluded from training
+    rows[1][0] = float("inf")      # excluded from training
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    _emb, v = _double_vectors(spark, str(d))
+    cents = _distributed_train(v, 6)
+    assert len(cents) == 6
+    assert all(math.isfinite(x) for c in cents for x in c)
+    # clamp: only 38 finite vectors exist
+    assert len(_distributed_train(v, 1000)) == 38
+    # all-nonfinite corpus: [] so the caller falls back
+    allnan = tmp_path / "nan"
+    allnan.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[float("nan")] * 4] * 2, pa.list_(pa.float32())),
+        }),
+        str(allnan / "embeddings.parquet"),
+    )
+    _e2, v2 = _double_vectors(spark, str(allnan))
+    assert _distributed_train(v2, 2) == []
+
+
+def test_containment_df_cap_validation(spark):
+    """ADVICE r10: df_cap < 1 silently routed EVERY gram to the
+    per-doc high arrays (the r8 byte wall) while returning correct
+    rows; bools are int subclasses and would run as cap 0/1. Both now
+    raise before any job is launched."""
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
+
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match=">= 1"):
+            containment_frame(spark, SF_SMOKE, df_cap=bad)
+    for bad in (True, False, 2.5):
+        with _pytest.raises(ValueError, match="int, None, or 'auto'"):
+            containment_frame(spark, SF_SMOKE, df_cap=bad)
+
+
+def test_auto_df_cap_per_lang(spark):
+    """ADVICE r10: df and the verify stream are keyed (lang, gram), so
+    the OOM driver is the WORST per-lang Σdf²/Σdf. A power-law
+    language diluted by a bigger bounded-df one keeps the GLOBAL ratio
+    under the threshold — the per-lang rule must still pick the cap."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+    )
+
+    # lang pw: one gram at df=1000 → its own Σdf²/Σdf = 1000 (>> 128);
+    # lang en: 40k grams at df=2 → Σdf² = 160k, Σdf = 80k. Global
+    # ratio = (1e6 + 1.6e5)/(1e3 + 8e4) ≈ 14 < 128 — the r10 global
+    # rule would pick the uncapped verify in exactly the regime the
+    # cap exists for.
+    rows = [("pw", 0, 1000)] + [("en", i, 2) for i in range(1, 40_001)]
+    mixed = spark.createDataFrame(rows, "lang string, h long, df long")
+    assert _auto_df_cap(mixed) == _AUTO_DF_CAP, (
+        "global dilution masked the power-law language"
+    )
+    # all-bounded multi-lang corpus still picks the pure count join
+    bounded = spark.createDataFrame(
+        [("en", i, 1 + i % 5) for i in range(100)]
+        + [("fr", i, 1 + i % 3) for i in range(100)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(bounded) is None
+
+
+def test_containment_unpersists_on_failure(spark, monkeypatch):
+    """ADVICE r10: a failure between the persists and the eager
+    checkpoint (here: the auto decision agg) must not pin the grams /
+    df_tab caches for the session lifetime — the try/finally releases
+    them on the error path too."""
+    import pytest as _pytest
+
+    import parquet_to_hyper_app_spark.operators.llm.corpus as corpus
+
+    spark.catalog.clearCache()
+
+    def _boom(df_tab):
+        raise RuntimeError("decision agg failed")
+
+    monkeypatch.setattr(corpus, "_auto_df_cap", _boom)
+    with _pytest.raises(RuntimeError, match="decision agg failed"):
+        corpus.containment_frame(spark, SF_SMOKE, df_cap="auto")
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "failure path leaked persisted frames"
+    )
