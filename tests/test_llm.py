@@ -1252,3 +1252,72 @@ def test_containment_unpersists_on_failure(spark, monkeypatch):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "failure path leaked persisted frames"
     )
+
+
+def test_auto_df_cap_knife_edge(spark):
+    """The auto rule's boundary is STRICT (> _AUTO_CAP_RATIO): a lang
+    sitting exactly ON the threshold stays uncapped; epsilon above it
+    caps. Pinned with the r11 fuzz-plant construction: 130 docs sharing
+    one bigram (df=130) plus m df=1 grams gives Σdf²/Σdf =
+    (130²+m)/(130+m) — 128.04 at m=2, 127.09 at m=3."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+    )
+
+    exactly = spark.createDataFrame(
+        [("en", 0, 128)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(exactly) is None  # ratio == 128.0, strict >
+    just_above = spark.createDataFrame(
+        [("kh", 0, 130), ("kh", 1, 1), ("kh", 2, 1)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(just_above) == _AUTO_DF_CAP  # 128.04
+    just_below = spark.createDataFrame(
+        [("kl", 0, 130), ("kl", 1, 1), ("kl", 2, 1), ("kl", 3, 1)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(just_below) is None  # 127.09
+
+
+def test_containment_all_high_df_doc_rides_array_term(spark, tmp_path):
+    """A doc whose EVERY gram has df > cap: the hybrid's cooc_low left
+    join contributes nothing and the array-only term must carry the
+    entire containment value (VERDICT r10 item 7). The r11 fuzz-plant
+    corpus — a 130-doc single-bigram clique (df=130 > cap=64) per
+    knife-edge lang — is exactly that regime; all three verify forms
+    must agree pair-for-pair, and auto must land on the capped side
+    (per-lang max ratio 128.04 > 128)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
+
+    texts, langs = [], []
+    for lang_code, m in (("kh", 2), ("kl", 3)):
+        texts += ["ka kb"] * 130 + [f"{lang_code}u{i} {lang_code}v{i}" for i in range(m)]
+        langs += [lang_code] * (130 + m)
+    d = tmp_path / "knife"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["src0"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    results = {}
+    for cap in (None, 64, "auto"):
+        results[cap] = {
+            (r.doc_src, r.doc_dst, round(r.containment, 9))
+            for r in containment_frame(spark, str(d), df_cap=cap).collect()
+        }
+    # two 130-cliques of containment-1.0 pairs: 130·129 ordered each
+    assert len(results[None]) == 2 * 130 * 129
+    assert results[64] == results[None]
+    assert results["auto"] == results[None]
+    assert all(c == 1.0 for _s, _d2, c in results[64] if _s <= 130)

@@ -389,9 +389,29 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
         # on BOTH engines (Spark ANSI-off cast NULLs, DuckDB needs
         # TRY_CAST — corpus_mixture_plan), never error or NULL-poison
         sources[16] = "webcrawl"
+    # r11 plants (both profiles): two languages whose per-lang Σdf²/Σdf
+    # STRADDLES the containment auto-cap knife edge (_AUTO_CAP_RATIO =
+    # 128). Each has 130 docs of the SAME single bigram "ka kb"
+    # (df = 130) plus m single-use bigrams: ratio = (130² + m)/(130 + m)
+    # — m=2 ("kh") lands at 128.04, just ABOVE the threshold; m=3
+    # ("kl") at 127.09, just BELOW. The 130-clique docs' ONLY gram has
+    # df > _AUTO_DF_CAP = 64, so under the capped hybrid the cooc_low
+    # left join finds nothing and the array-only term must carry the
+    # ENTIRE containment value (VERDICT r10 item 7); the clique also
+    # feeds the registered uncapped key a 130-way exact-dup clique in
+    # one lang (16 770 ordered pairs) through the driver oracle.
+    for lang_code, m in (("kh", 2), ("kl", 3)):
+        for _ in range(130):
+            texts.append("ka kb")
+            langs.append(lang_code)
+            sources.append(SOURCES[0])
+        for i in range(m):
+            texts.append(f"{lang_code}u{i} {lang_code}v{i}")
+            langs.append(lang_code)
+            sources.append(SOURCES[0])
     return pa.table(
         {
-            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
             "text": pa.array(texts),
             "lang": pa.array(langs),
             "source": pa.array(sources),
