@@ -43,18 +43,35 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scales", nargs="*", type=int, default=[1, 32, 64])
+    ap.add_argument("--unclamped", action="store_true",
+                    help="r11 regime: past n = _KM_SAMPLE * 32 compare the old "
+                         "saturated clamp (k pinned at _KM_SAMPLE, sample-trained) "
+                         "against k='auto' (distributed MLlib trainer) — measures "
+                         "time AND the max/mean cluster population the n/k rule "
+                         "exists to bound")
     args = ap.parse_args()
 
-    from parquet_to_hyper_app_spark.operators.llm.features import _KM_K, semdedup_frame
+    import pyspark.sql.functions as F
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _KM_K,
+        _KM_SAMPLE,
+        semdedup_frame,
+    )
 
     spark = build_session("semdedup_k_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     base = os.path.join(tempfile.gettempdir(), "p2h_semdedup_k_probe")
-    results: list[tuple[int, str, int, float, int, int]] = []
+    results: list[tuple] = []
 
     for K in args.scales:
         probe_dir = os.path.join(base, f"x{K}")
         _replicate(spark, args.sf, probe_dir, K, tables={"embeddings": ["vec_id"]})
-        for mode, k in (("fixed", None), ("scaled", _KM_K * K)):
+        modes = (
+            (("saturated", _KM_SAMPLE), ("auto", "auto"))
+            if args.unclamped
+            else (("fixed", None), ("scaled", _KM_K * K))
+        )
+        for mode, k in modes:
             df = semdedup_frame(spark, probe_dir, k=k)
             df.count()  # warm: file listing, codegen, UDF fork
             best, n = float("inf"), 0
@@ -63,14 +80,24 @@ def main() -> int:
                 n = df.count()
                 best = min(best, time.time() - t0)
             dropped = df.filter("NOT kept").count()
-            results.append((K, mode, k or _KM_K, best, n, dropped))
+            pops = df.groupBy("cluster_id").count()
+            stats = pops.agg(
+                F.count("*").alias("k_used"),
+                F.max("count").alias("cmax"),
+                F.round(F.avg("count"), 1).alias("cavg"),
+            ).first()
+            results.append((K, mode, k, best, n, dropped,
+                            stats["k_used"], stats["cmax"], stats["cavg"]))
 
     print(f"\nsemdedup scale-k probe over {args.sf} (seconds, warm best-of-3)")
-    hdr = f"{'scale':>6} {'mode':>8} {'k':>6} {'time':>9} {'rows':>10} {'dropped':>9}"
+    hdr = (f"{'scale':>6} {'mode':>10} {'k':>6} {'time':>9} {'rows':>9} "
+           f"{'dropped':>8} {'k_used':>7} {'max_cl':>7} {'avg_cl':>7}")
     print(hdr)
     print("-" * len(hdr))
-    for K, mode, k, best, n, dropped in results:
-        print(f"{'x' + str(K):>6} {mode:>8} {k:>6} {best:>8.2f}s {n:>10} {dropped:>9}")
+    for K, mode, k, best, n, dropped, k_used, cmax, cavg in results:
+        kdisp = "auto" if k == "auto" else str(k or _KM_K)
+        print(f"{'x' + str(K):>6} {mode:>10} {kdisp:>6} {best:>8.2f}s {n:>9} "
+              f"{dropped:>8} {k_used:>7} {cmax:>7} {cavg:>7}")
 
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
