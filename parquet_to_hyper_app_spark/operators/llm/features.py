@@ -396,16 +396,24 @@ def _distributed_train(v, k: int) -> list[list[float]]:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    finite = v.filter(
+    feats = v.filter(
         F.forall("e", lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))))
-    )
-    n = finite.count()
-    if n == 0:
-        return []
-    k = min(k, n)
-    feats = finite.select(array_to_vector(F.col("e")).alias("features"))
-    model = KMeans(k=k, seed=0, maxIter=_KM_DIST_ITERS).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    ).select(array_to_vector(F.col("e")).alias("features"))
+    # persisted across the TWO passes this function makes (the clamp
+    # count and k-means||'s iterations) — without it each would re-run
+    # the scan + finite filter + vector conversion, the same
+    # double-read shape the containment df_tab persist closes; released
+    # in finally because fit() can throw
+    feats = feats.persist()
+    try:
+        n = feats.count()
+        if n == 0:
+            return []
+        k = min(k, n)
+        model = KMeans(k=k, seed=0, maxIter=_KM_DIST_ITERS).fit(feats)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+    finally:
+        feats.unpersist()
 
 
 def _assign_ids_np(mats, cents: list[list[float]]):
