@@ -717,10 +717,23 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     keeps the GLOBAL ratio under the threshold while its own stream
     still explodes. Languages whose share of the corpus is negligible
     can't OOM anything, so the per-lang max is the conservative-correct
-    statistic; the single-lang case reduces to the r10 global rule."""
+    statistic; the single-lang case reduces to the r10 global rule.
+    NULL-lang rows are excluded (r11 review): every downstream
+    (lang, h) equi-join drops them, so they contribute ZERO rows to
+    either verify stream — letting an untagged slice drive the max
+    would force the hybrid for no protection gained. Σdf² is summed in
+    DOUBLE, not long (r11 review): df² of a ~3e9-df head gram (or a
+    handful of 1e9s) wraps int64 silently under non-ANSI arithmetic,
+    flipping the decision to the uncapped verify in exactly the OOM
+    regime the statistic exists to catch — the threshold compare only
+    needs the ~15 significant digits double carries."""
     row = (
-        df_tab.groupBy("lang")
-        .agg(F.sum(F.col("df") * F.col("df")).alias("s2"), F.sum("df").alias("s1"))
+        df_tab.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("df").cast("double") * F.col("df")).alias("s2"),
+            F.sum("df").alias("s1"),
+        )
         .agg(F.max(F.col("s2") / F.col("s1")).alias("r"))
         .first()
     )

@@ -381,27 +381,25 @@ def _distributed_train(v, k: int) -> list[list[float]]:
     knife) — MLlib only picks WHERE the centroids sit, never how a
     vector ranks against them.
 
-    Two deliberate contract differences from `lloyd_train`, both
-    inherent to the regime: (a) training is NOT bit-replayable by the
-    DuckDB oracle (k-means|| init is distributed sampling), which is
-    why the registered key never routes here — this is the production
-    path for corpora whose k ∝ n exceeds any single-node sample; (b)
-    non-finite vectors are excluded from TRAINING only (a NaN feature
-    poisons every MLlib center it touches), while assignment still
-    covers them via the exact fold — training is a heuristic placement,
-    assignment is the semantics. k clamps to the finite-vector count
-    (MLlib requires k ≤ n); returns [] when no finite vectors exist so
-    the caller can fall back to the sample trainer's degenerate-corpus
-    handling."""
+    One deliberate contract difference from `lloyd_train`, inherent to
+    the regime: training is NOT bit-replayable by the DuckDB oracle
+    (k-means|| init is distributed sampling), which is why the
+    registered key never routes here — this is the production path for
+    corpora whose k ∝ n exceeds any single-node sample. Non-finite
+    vectors never reach EITHER trainer or the assignment (r11 review):
+    `v` comes from the uniform-vector contract (`uniform_vectors`
+    excludes NULL/ragged/non-finite family-wide since r8), so MLlib's
+    NaN-center-poisoning hazard is already fenced upstream and no
+    second finite filter is paid here. k clamps to the vector count
+    (MLlib requires k ≤ n); returns [] for an empty vector frame so
+    the caller emits its typed empty result."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = v.filter(
-        F.forall("e", lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))))
-    ).select(array_to_vector(F.col("e")).alias("features"))
+    feats = v.select(array_to_vector(F.col("e")).alias("features"))
     # persisted across the TWO passes this function makes (the clamp
     # count and k-means||'s iterations) — without it each would re-run
-    # the scan + finite filter + vector conversion, the same
+    # the scan + uniform filter + vector conversion, the same
     # double-read shape the containment df_tab persist closes; released
     # in finally because fit() can throw
     feats = feats.persist()
@@ -755,11 +753,8 @@ def semdedup_frame(
         raise ValueError(f"semdedup k must be positive, got {k}")
     if k is not None and k > _KM_SAMPLE:
         _emb, v = _double_vectors(spark, sf_dir)
-        cents = _distributed_train(v, k)
-        if not cents:  # no finite vector to place a center on: the
-            # degenerate corpus the sample trainer already handles
-            # (clamps k, NaN-aware init) — fall back rather than crash
-            _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=k)
+        cents = _distributed_train(v, k)  # [] only when v is empty —
+        # the same condition the typed-empty return below already covers
     else:
         _emb, v, cents = _km_trained_assignment(spark, sf_dir, k=_KM_K if k is None else k)
     if not cents:  # empty embeddings table: typed empty result, no crash

@@ -1138,9 +1138,11 @@ def test_semdedup_auto_past_clamp_keeps_widening(spark, monkeypatch):
 
 def test_distributed_train_contract(spark, tmp_path):
     """_distributed_train: returns exactly k finite centroids; clamps
-    k to the finite-vector count; excludes non-finite vectors from
-    training (returns [] when none are finite, so the caller can fall
-    back)."""
+    k to the vector count. Non-finite vectors are excluded UPSTREAM by
+    the uniform-vector contract (`uniform_vectors` filters them before
+    `v` exists — the trainer itself carries no second filter), so the
+    NaN/inf plants below never reach MLlib and an all-non-finite
+    corpus yields an empty frame → []."""
     import math
 
     import numpy as np
@@ -1155,8 +1157,8 @@ def test_distributed_train_contract(spark, tmp_path):
     rng = np.random.default_rng(11)
     m = rng.normal(size=(40, 4)).astype("float32")
     rows = [r.tolist() for r in m]
-    rows[0][2] = float("nan")      # excluded from training
-    rows[1][0] = float("inf")      # excluded from training
+    rows[0][2] = float("nan")      # excluded by the uniform contract
+    rows[1][0] = float("inf")      # excluded by the uniform contract
     d = tmp_path / "emb"
     d.mkdir()
     pq.write_table(
@@ -1170,9 +1172,9 @@ def test_distributed_train_contract(spark, tmp_path):
     cents = _distributed_train(v, 6)
     assert len(cents) == 6
     assert all(math.isfinite(x) for c in cents for x in c)
-    # clamp: only 38 finite vectors exist
+    # clamp: only 38 uniform (finite) vectors exist
     assert len(_distributed_train(v, 1000)) == 38
-    # all-nonfinite corpus: [] so the caller falls back
+    # all-non-finite corpus: uniform set empty -> [] -> typed empty result
     allnan = tmp_path / "nan"
     allnan.mkdir()
     pq.write_table(
@@ -1321,3 +1323,30 @@ def test_containment_all_high_df_doc_rides_array_term(spark, tmp_path):
     assert results[64] == results[None]
     assert results["auto"] == results[None]
     assert all(c == 1.0 for _s, _d2, c in results[64] if _s <= 130)
+
+
+def test_auto_df_cap_null_lang_and_overflow(spark):
+    """Two r11-review hardenings: (1) NULL-lang df rows are excluded
+    from the per-lang max — downstream (lang, h) equi-joins drop them,
+    so an untagged power-law slice must not force the hybrid; (2) Σdf²
+    sums in DOUBLE — a ~3.1e9-df head gram's square exceeds int64 and
+    non-ANSI long arithmetic would wrap NEGATIVE, silently flipping the
+    decision to the uncapped verify in the OOM regime."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+    )
+
+    null_lang_powerlaw = spark.createDataFrame(
+        [(None, 0, 100_000)] + [("en", i, 2) for i in range(1, 100)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(null_lang_powerlaw) is None
+    all_null = spark.createDataFrame(
+        [(None, 0, 100_000)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(all_null) is None
+    overflow = spark.createDataFrame(
+        [("en", 0, 3_100_000_000)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(overflow) == _AUTO_DF_CAP  # df^2 = 9.61e18 > 2^63
