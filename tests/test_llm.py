@@ -1350,3 +1350,32 @@ def test_auto_df_cap_null_lang_and_overflow(spark):
         [("en", 0, 3_100_000_000)], "lang string, h long, df long"
     )
     assert _auto_df_cap(overflow) == _AUTO_DF_CAP  # df^2 = 9.61e18 > 2^63
+
+
+def test_distributed_train_deterministic(spark, tmp_path):
+    """Reproducible-pipeline contract: the distributed trainer is
+    seeded (KMeans seed=0, fixed maxIter), so two runs over the same
+    frame must return bit-identical centroid lists — a rerun of a
+    dedup stage on unchanged data must not reshuffle cluster ids."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _distributed_train,
+        _double_vectors,
+    )
+
+    rng = np.random.default_rng(19)
+    m = rng.normal(size=(60, 4)).astype("float32")
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    _e, v = _double_vectors(spark, str(d))
+    assert _distributed_train(v, 5) == _distributed_train(v, 5)
