@@ -695,6 +695,19 @@ _CONTAIN_T = 0.8
 #: occurrence: "the average occurrence sits in a gram seen ~N times".
 _AUTO_DF_CAP = 64
 _AUTO_CAP_RATIO = 128.0
+#: absolute per-lang Σdf² floor (r12, ADVICE r11): a language may only
+#: drive the cap decision if its own pre-combine stream is big enough
+#: to matter. 1e8 count rows ≈ 2.4 GB at 24 B/row spread across the
+#: shuffle — below what can stress an executor that already survived
+#: the corpus scan — and the measured regimes straddle it cleanly: the
+#: smallest probed point where the cap WINS (d10000 Zipf, SCALE.md
+#: round-10) has per-lang Σdf² ≈ 1.6e8, while the d5000 point where
+#: the uncapped verify still won sits at ≈ 4.1e7. Below the floor the
+#: decision falls to the (faster there) uncapped form regardless of
+#: ratio, so a tiny high-intensity language — e.g. the 132-doc
+#: knife-edge fuzz plant, whose whole stream is ~17k rows — no longer
+#: flips the corpus onto the ~25-32%-slower hybrid.
+_AUTO_CAP_MIN_S2 = 1e8
 
 
 def _auto_df_cap(df_tab: DataFrame) -> int | None:
@@ -707,17 +720,23 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     hand-picking per corpus (tools/powerlaw_probe.py measured the two
     regimes; docs/SCALE.md "Round-10"). The decision is a separate
     action, so the caller persists df_tab around it; the measured
-    all-in overhead vs an explicit cap is ~15-25% at the d20000 Zipf
-    point — pass the int when the regime is already known.
+    all-in overhead vs an explicit cap is ~25-32% now that the
+    explicit path persists df_tab too (docs/SCALE.md round-11
+    addendum) — pass the int when the regime is already known.
 
     The ratio is evaluated PER LANGUAGE and the cap selected if ANY
     language crosses it (ADVICE r10): df and the verify stream are
     keyed (lang, gram), so the OOM driver is the worst per-lang Σdf²
     — one power-law language diluted by a much larger bounded-df one
     keeps the GLOBAL ratio under the threshold while its own stream
-    still explodes. Languages whose share of the corpus is negligible
-    can't OOM anything, so the per-lang max is the conservative-correct
-    statistic; the single-lang case reduces to the r10 global rule.
+    still explodes. A language only qualifies for that max if its own
+    Σdf² clears the absolute ``_AUTO_CAP_MIN_S2`` floor (r12, ADVICE
+    r11): the ratio measures INTENSITY, not magnitude, and a tiny
+    language with one shared gram can post an arbitrarily high ratio
+    while its whole stream fits in one shuffle block — languages whose
+    stream is negligible can't OOM anything, so they must not force
+    the hybrid's overhead on the corpus. The single-lang power-law
+    case reduces to the r10 global rule.
     NULL-lang rows are excluded (r11 review): every downstream
     (lang, h) equi-join drops them, so they contribute ZERO rows to
     either verify stream — letting an untagged slice drive the max
@@ -734,6 +753,7 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
             F.sum(F.col("df").cast("double") * F.col("df")).alias("s2"),
             F.sum("df").alias("s1"),
         )
+        .filter(F.col("s2") > F.lit(float(_AUTO_CAP_MIN_S2)))
         .agg(F.max(F.col("s2") / F.col("s1")).alias("r"))
         .first()
     )

@@ -385,7 +385,13 @@ def _distributed_train(v, k: int) -> list[list[float]]:
     the regime: training is NOT bit-replayable by the DuckDB oracle
     (k-means|| init is distributed sampling), which is why the
     registered key never routes here — this is the production path for
-    corpora whose k ∝ n exceeds any single-node sample. Non-finite
+    corpora whose k ∝ n exceeds any single-node sample. The seed makes
+    a rerun deterministic only for an UNCHANGED partition layout
+    (ADVICE r11): k-means|| samples per-partition, so the same data
+    re-read at different parallelism or file layout can legally yield
+    different centroids and reshuffled cluster ids — the
+    reproducibility promise is rerun-on-same-layout, not
+    layout-independent. Non-finite
     vectors never reach EITHER trainer or the assignment (r11 review):
     `v` comes from the uniform-vector contract (`uniform_vectors`
     excludes NULL/ragged/non-finite family-wide since r8), so MLlib's
@@ -467,6 +473,191 @@ def _assign_ids_np(mats, cents: list[list[float]]):
         for r in knife:
             assign[r] = _exact_assign_row(mats[r], cents)
     return assign
+
+
+#: hierarchical-assignment routing width: cells probed per vector. 8 is
+#: the IVF convention's safe default (coarse cells are √k, so nprobe=8
+#: inspects ~8·√k fine centroids — still √k-class work) and is exact on
+#: any corpus whose nearest fine centroid sits within the vector's 8
+#: nearest coarse cells; raise it to trade time for routing recall.
+_HIER_NPROBE = 8
+#: coarse-trainer iterations — a routing structure, not a semantic
+#: contract (the exact knife below owns tie semantics), so the budget
+#: is a quality knob like _KM_DIST_ITERS
+_HIER_ITERS = 10
+
+
+def _np_lloyd(mats, c: int, iters: int = _HIER_ITERS):
+    """Deterministic driver-side Lloyd's over a dense float64 slab —
+    the COARSE trainer for hierarchical assignment. Runs on the fine
+    CENTROIDS (k×dim, already materialized on the driver by either
+    fine trainer), so there is no new distributed stage and no new
+    collect: k·dim doubles is the slab `semdedup_frame` already holds.
+    Matmul-expanded distances (never an (n, k, d) tensor — `lloyd_train`'s
+    diff tensor would be k·√k·dim here), evenly-strided init (row
+    floor(i·k/c) — strictly increasing for c ≤ k, so init rows are
+    distinct positions), empty cells keep their previous position. No
+    exact-fold knife: the coarse layer only ROUTES; the semantic
+    contract (ties, NaN ranking) lives in the refine stage's
+    `_exact_assign_row` re-rank, same as the flat path."""
+    import numpy as np
+
+    k = len(mats)
+    c = min(c, k)
+    cents = mats[np.floor(np.arange(c) * k / c).astype(int)].copy()
+    for _ in range(iters):
+        with np.errstate(invalid="ignore", over="ignore"):
+            x2 = np.einsum("nd,nd->n", mats, mats)
+            c2 = np.einsum("kd,kd->k", cents, cents)
+            d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ cents.T)
+        d2 = np.where(np.isfinite(d2), d2, np.inf)
+        assign = np.argmin(d2, axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, mats)
+        counts = np.bincount(assign, minlength=c)
+        live = counts > 0
+        cents[live] = sums[live] / counts[live, None]
+    return cents
+
+
+def _coarse_route(cents: list[list[float]], nprobe: int):
+    """Build the two-level routing structure for `_assign_ids_hier`:
+    train ⌈√k⌉ coarse centroids on the k fine centroids (driver-side
+    numpy — see `_np_lloyd`), then group the fine centroids by nearest
+    coarse cell. Returns (coarse c×dim array, members: per-cell sorted
+    int arrays of fine-centroid ids, effective nprobe). Cells inherit
+    the flat path's artifact discipline: a fine centroid with any
+    non-finite coordinate routes to cell 0 arbitrarily — harmless,
+    because any VECTOR whose refine distances go non-finite re-ranks
+    through the full exact fold anyway."""
+    import math
+
+    import numpy as np
+
+    k = len(cents)
+    mats = np.array(cents, dtype="float64")
+    c = min(math.isqrt(max(k - 1, 0)) + 1, k)  # ⌈√k⌉, ≤ k
+    coarse = _np_lloyd(mats, c)
+    with np.errstate(invalid="ignore", over="ignore"):
+        d2 = (
+            np.einsum("nd,nd->n", mats, mats)[:, None]
+            + np.einsum("kd,kd->k", coarse, coarse)[None, :]
+            - 2.0 * (mats @ coarse.T)
+        )
+    d2 = np.where(np.isfinite(d2), d2, np.inf)
+    cell_of = np.argmin(d2, axis=1)
+    members = [np.nonzero(cell_of == j)[0] for j in range(len(coarse))]
+    return coarse, members, min(nprobe, len(coarse))
+
+
+def _assign_ids_hier(mats, cents: list[list[float]], coarse, members,
+                     nprobe: int):
+    """Hierarchical (coarse → refine) nearest-centroid assignment — the
+    >10⁶-vector rung past `_assign_ids_np`'s flat matmul (VERDICT r11
+    item 7). Flat assignment is n·k·d FLOPs; with SemDeDup's k ∝ n
+    that term is quadratic by design (the paper's own cost model).
+    Here each vector ranks the ⌈√k⌉ coarse cells (n·√k), probes its
+    ``nprobe`` nearest, and refines only against those cells' fine
+    members (n·nprobe·k/√k expected) — O(n·√k) total, sub-quadratic
+    when k ∝ n.
+
+    APPROXIMATE BY CONTRACT: exact iff every vector's true nearest
+    fine centroid lies in one of its nprobe nearest coarse cells —
+    guaranteed on separated corpora (a vector near its centroid shares
+    its centroid's cell ranking), asserted-exact vs flat in tests and
+    by `tools/semdedup_k_probe.py --hier`'s x1 drop-set equality; on
+    adversarial geometry it is the standard IVF recall trade, tuned by
+    nprobe. WITHIN the probed candidate set the contract is the flat
+    path's, verbatim: any non-finite distance artifact sends the row
+    to the full exact fold over ALL centroids (`_exact_assign_row`),
+    and a top-2 gap inside the magnitude-relative float margin
+    re-ranks the row's whole candidate set with the same exact fold —
+    so on a corpus where routing is exact, the hier result is
+    bit-identical to flat, ties included."""
+    import numpy as np
+
+    c_arr = np.array(cents, dtype="float64")
+    n = len(mats)
+    ncells = len(coarse)
+    nprobe = min(nprobe, ncells)
+    with np.errstate(invalid="ignore", over="ignore"):
+        x2 = np.einsum("nd,nd->n", mats, mats)
+        c2f = np.einsum("kd,kd->k", c_arr, c_arr)
+        co2 = np.einsum("kd,kd->k", coarse, coarse)
+        d2c = x2[:, None] + co2[None, :] - 2.0 * (mats @ coarse.T)
+    # rows whose COARSE distances already produce artifacts can't be
+    # routed credibly — full exact fold, same as flat's artifact path
+    exact_rows = set(np.nonzero(~np.isfinite(d2c).any(axis=1) | ~np.isfinite(x2))[0].tolist())
+    d2c = np.where(np.isfinite(d2c), d2c, np.inf)
+    if nprobe < ncells:
+        probe = np.argpartition(d2c, nprobe - 1, axis=1)[:, :nprobe]
+    else:
+        probe = np.broadcast_to(np.arange(ncells), (n, ncells))
+    probe_mask = np.zeros((n, ncells), dtype=bool)
+    probe_mask[np.arange(n)[:, None], probe] = True
+    best = np.full(n, np.inf)
+    second = np.full(n, np.inf)
+    best_j = np.full(n, -1, dtype="int64")
+    for cell in range(ncells):
+        mem = members[cell]
+        if len(mem) == 0:
+            continue
+        rows = np.nonzero(probe_mask[:, cell])[0]
+        if len(rows) == 0:
+            continue
+        with np.errstate(invalid="ignore", over="ignore"):
+            sub = (
+                x2[rows, None]
+                + c2f[mem][None, :]
+                - 2.0 * (mats[rows] @ c_arr[mem].T)
+            )
+        bad = ~np.isfinite(sub).all(axis=1)
+        if bad.any():
+            # refine-stage artifact (0·inf / inf−inf manufactured by the
+            # matmul expansion): the whole row goes to the full exact
+            # fold — mirroring _assign_ids_np, which never trusts a
+            # repaired artifact row
+            exact_rows.update(rows[bad].tolist())
+        sub = np.where(np.isfinite(sub), sub, np.inf)
+        ridx = np.arange(len(rows))
+        if sub.shape[1] == 1:
+            cb = sub[:, 0]
+            cj = np.full(len(rows), mem[0], dtype="int64")
+            cs = np.full(len(rows), np.inf)
+        else:
+            two = np.argpartition(sub, 1, axis=1)[:, :2]
+            v0, v1 = sub[ridx, two[:, 0]], sub[ridx, two[:, 1]]
+            first_is_0 = (v0 < v1) | ((v0 == v1) & (two[:, 0] < two[:, 1]))
+            cb = np.where(first_is_0, v0, v1)
+            cs = np.where(first_is_0, v1, v0)
+            cj = mem[np.where(first_is_0, two[:, 0], two[:, 1])]
+        # merge the cell's best two into the running (best, second);
+        # strict < keeps the earlier cell's winner on exact ties — the
+        # knife re-rank below owns tie semantics wherever they matter
+        ob, os_ = best[rows], second[rows]
+        best_j[rows] = np.where(cb < ob, cj, best_j[rows])
+        stacked = np.sort(np.stack([ob, os_, cb, cs]), axis=0)
+        best[rows], second[rows] = stacked[0], stacked[1]
+    finite_c2 = c2f[np.isfinite(c2f)]
+    margin = rel_margin(x2 + (finite_c2.max() if len(finite_c2) else 0.0))
+    with np.errstate(invalid="ignore"):
+        knife = np.nonzero((second - best < margin) & np.isfinite(best))[0]
+    for r in knife:
+        if r in exact_rows:
+            continue
+        cand = np.sort(np.concatenate([members[cell] for cell in probe[r]]))
+        if len(cand) == 0:
+            exact_rows.add(int(r))
+            continue
+        j = _exact_assign_row(mats[r], [cents[i] for i in cand])
+        best_j[r] = cand[j]
+    # rows every probed cell of which was empty, plus all artifact rows:
+    # the flat path's full exact fold is the one contract both share
+    for r in np.nonzero(best_j == -1)[0]:
+        exact_rows.add(int(r))
+    for r in exact_rows:
+        best_j[r] = _exact_assign_row(mats[r], cents)
+    return best_j
 
 
 def _assign_expr(cents: list[list[float]]) -> str:
@@ -702,7 +893,8 @@ _SEMDEDUP_TARGET_CLUSTER = 32
 
 
 def semdedup_frame(
-    spark: SparkSession, sf_dir: str, k: int | str | None = None
+    spark: SparkSession, sf_dir: str, k: int | str | None = None,
+    assign: str = "flat", nprobe: int = _HIER_NPROBE,
 ) -> DataFrame:
     """The SemDeDup engine behind `dedup_semantic`, with the quantizer
     width as a parameter.
@@ -732,11 +924,38 @@ def semdedup_frame(
     seeded) behind the identical assignment contract. Auto therefore
     no longer saturates at n ≈ 65k (= _KM_SAMPLE·32): the resolved k
     keeps scaling ∝ n and only training placement changes engines.
+
+    Assignment likewise has two regimes (r12, VERDICT r11 item 7):
+    ``assign="flat"`` (default, and the only registered shape) is
+    `_assign_ids_np`'s exact n·k matmul — with k ∝ n that term is
+    quadratic BY DESIGN (SemDeDup's own cost model), measured growing
+    to 35 s at x128 in docs/SCALE.md round-11. ``assign="hier"`` is
+    the >10⁶-vector rung: a ⌈√k⌉-cell coarse quantizer trained
+    driver-side ON THE CENTROID SLAB (no new distributed stage),
+    ``nprobe`` cells probed per vector, the exact-fold knife applied
+    within the probed candidates — O(n·√k), sub-quadratic when k ∝ n,
+    bit-identical to flat wherever routing is exact (blob-corpus
+    equality asserted in tests; x64/x128 timings + x1 drop-set
+    equality in `tools/semdedup_k_probe.py --hier`). It is the
+    standard IVF recall trade on adversarial geometry, which is why
+    the registered key and k="auto" stay on flat: hier is the
+    deployment switch, like containment's df_cap. ``assign`` governs
+    the pandas-UDF path only: when k is None — or "auto" resolves a
+    corpus small enough for the literal path — assignment is the
+    oracle-replayable JVM expression BY CONTRACT and hier has nothing
+    to route (⌈√16⌉ cells would be noise), so the flag is a documented
+    no-op there rather than an error: a deployment can pin
+    (k="auto", assign="hier") once and stay correct at every corpus
+    size.
     """
     import numpy as np
 
     from parquet_to_hyper_app_spark.operators.llm.dedup import _exact_pairs_block
 
+    if assign not in ("flat", "hier"):
+        raise ValueError(f"semdedup assign must be 'flat' or 'hier', got {assign!r}")
+    if isinstance(nprobe, bool) or not isinstance(nprobe, int) or nprobe < 1:
+        raise ValueError(f"semdedup nprobe must be a positive int, got {nprobe!r}")
     if isinstance(k, str):
         if k != "auto":
             raise ValueError(f"semdedup k must be an int, None, or 'auto', got {k!r}")
@@ -746,11 +965,19 @@ def semdedup_frame(
         # k=None — auto only widens, it never narrows
         wide = -(-embedding_count_for(spark, sf_dir) // _SEMDEDUP_TARGET_CLUSTER)
         k = None if wide <= _KM_K else wide
-    if k is not None and k <= 0:
-        # the path selector below routes on `k is None`; a non-positive
-        # k would otherwise train the default width yet claim an
-        # explicit one on the UDF path (ADVICE r9)
-        raise ValueError(f"semdedup k must be positive, got {k}")
+    if k is not None:
+        # mirror containment_frame's df_cap validation (ADVICE r11):
+        # bool is an int subclass, so k=True would pass a bare
+        # positivity check and silently train k=1 on the sample path,
+        # while a float like 2.5 would crash later inside lloyd_train's
+        # sample[:k] slice with an opaque TypeError
+        if isinstance(k, bool) or not isinstance(k, int):
+            raise ValueError(f"semdedup k must be an int, None, or 'auto', got {k!r}")
+        if k <= 0:
+            # the path selector below routes on `k is None`; a
+            # non-positive k would otherwise train the default width yet
+            # claim an explicit one on the UDF path (ADVICE r9)
+            raise ValueError(f"semdedup k must be positive, got {k}")
     if k is not None and k > _KM_SAMPLE:
         _emb, v = _double_vectors(spark, sf_dir)
         cents = _distributed_train(v, k)  # [] only when v is empty —
@@ -767,6 +994,14 @@ def semdedup_frame(
         # closure would re-ship it inside EVERY serialized task instead
         # of once per executor (VERDICT r10)
         cents_bc = spark.sparkContext.broadcast(cents)
+        if assign == "hier":
+            # routing structure built ONCE on the driver from the slab
+            # already in hand and broadcast beside it: coarse is
+            # √k·dim doubles, members is one int per fine centroid
+            coarse, members, nprobe = _coarse_route(cents, nprobe)
+            route_bc = spark.sparkContext.broadcast((coarse, members, nprobe))
+        else:
+            route_bc = None
 
         @F.pandas_udf("long")
         def _assign_udf(e: pd.Series) -> pd.Series:
@@ -775,7 +1010,12 @@ def semdedup_frame(
             if not len(e):
                 return pd.Series([], dtype="int64")
             mats = np.stack(e.to_numpy()).astype("float64")
-            return pd.Series(_assign_ids_np(mats, cents_bc.value), dtype="int64")
+            if route_bc is not None:
+                co, mem, npr = route_bc.value
+                ids = _assign_ids_hier(mats, cents_bc.value, co, mem, npr)
+            else:
+                ids = _assign_ids_np(mats, cents_bc.value)
+            return pd.Series(ids, dtype="int64")
 
         assigned = v.withColumn("cluster_id", _assign_udf(F.col("e")))
 

@@ -969,6 +969,167 @@ def test_semdedup_frame_rejects_nonpositive_k(spark):
         semdedup_frame(spark, SF_SMOKE, k=-3)
 
 
+def test_semdedup_frame_rejects_bool_and_float_k(spark):
+    """r12 (ADVICE r11), mirroring containment_frame's df_cap
+    validation: bool is an int subclass, so k=True passed the bare
+    positivity check and silently trained k=1 on the sample path;
+    a float like 2.5 crashed later inside lloyd_train's sample[:k]
+    slice with an opaque TypeError. Both now raise up front."""
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.features import semdedup_frame
+
+    for bad in (True, False, 2.5, 16.0):
+        with _pytest.raises(ValueError, match="int, None, or 'auto'"):
+            semdedup_frame(spark, SF_SMOKE, k=bad)
+
+
+def test_semdedup_trainer_switch_invisible_to_drop_rule(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 4: the r11 distributed-trainer boundary
+    (k > _KM_SAMPLE routes MLlib k-means|| instead of the ordered-
+    sample Lloyd's) must be INVISIBLE to the drop-rule semantics. On a
+    corpus where any correct quantizer finds the same clustering — 24
+    well-separated blobs of 32 IDENTICAL vectors each, interleaved
+    across vec_id so the sample trainer's smallest-id init covers
+    every blob — the clamp path and the distributed path must agree on
+    the kept set and on the cluster PARTITION (ids may permute), and
+    k="auto" (resolving k = n/32 = 24, just past a patched boundary)
+    must ride the switch with the same result. Both paths are legal
+    here (k = 24 ≤ the real _KM_SAMPLE and ≤ n), which is what makes
+    the self-equivalence an honest check — the trainer itself is
+    deliberately outside the DuckDB oracle (k-means|| init is not
+    replayable), so equivalence on an unambiguous corpus is the
+    strongest cross-path statement available."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    B = 24  # > _KM_K so auto resolves an explicit k, not the literal path
+    base = np.eye(B, dtype="float32") * 100.0
+    n = B * 32
+    d = tmp_path / "blobs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [base[i % B].tolist() for i in range(n)], pa.list_(pa.float32())
+            ),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+
+    def run(frame):
+        rows = {r.vec_id: (r.cluster_id, r.kept) for r in frame.collect()}
+        from collections import defaultdict
+
+        p = defaultdict(set)
+        for vid, (cid, _k) in rows.items():
+            p[cid].add(vid)
+        kept = {vid for vid, (_c, k) in rows.items() if k}
+        return kept, sorted(map(frozenset, p.values()), key=min)
+
+    kept_a, parts_a = run(feats.semdedup_frame(spark, str(d), k=B))
+    monkeypatch.setattr(feats, "_KM_SAMPLE", B - 1)  # force the distributed route
+    kept_b, parts_b = run(feats.semdedup_frame(spark, str(d), k=B))
+    kept_c, parts_c = run(feats.semdedup_frame(spark, str(d), k="auto"))
+    # blob semantics: identical members ⇒ cos = 1 ≥ t, so exactly the
+    # smallest vec_id of each blob survives — vec_ids 0..B-1
+    assert kept_a == set(range(B))
+    assert len(parts_a) == B
+    assert (kept_b, parts_b) == (kept_a, parts_a), "clamp vs distributed diverge"
+    assert (kept_c, parts_c) == (kept_a, parts_a), "auto across the boundary diverges"
+
+
+def test_semdedup_hier_assignment_matches_flat(spark, tmp_path):
+    """r12 (VERDICT r11 item 7): the hierarchical (coarse → refine)
+    assignment must be BIT-IDENTICAL to the flat matmul wherever
+    routing is exact — here 64 well-separated blobs (k=64 fine
+    centroids, ⌈√64⌉=8 coarse cells, nprobe=2 < 8 so the probe
+    genuinely prunes), compared at the numpy level (cluster ids, not
+    just partitions) and end-to-end through semdedup_frame including
+    the drop rule. Also pins the parameter validation and that the
+    flag is a no-op on the literal path (k=None)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    rng = np.random.default_rng(7)
+    k, dim = 64, 16
+    cents = (rng.normal(size=(k, dim)) * 0.01
+             + np.arange(k)[:, None] * 10.0).tolist()
+    mats = (np.array([cents[i % k] for i in range(1000)])
+            + rng.normal(size=(1000, dim)) * 1e-3)
+    flat = feats._assign_ids_np(mats, cents)
+    coarse, members, npr = feats._coarse_route(cents, 2)
+    assert len(coarse) == 8 and npr == 2
+    hier = feats._assign_ids_hier(mats, cents, coarse, members, npr)
+    assert (flat == hier).all(), "hier diverges from flat on exact-routable geometry"
+
+    B = 64
+    base = np.eye(B, dtype="float32") * 100.0
+    n = B * 32
+    d = tmp_path / "blobs64"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [base[i % B].tolist() for i in range(n)], pa.list_(pa.float32())
+            ),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    a = sorted((r.vec_id, r.cluster_id, r.kept)
+               for r in feats.semdedup_frame(spark, str(d), k=B).collect())
+    h = sorted((r.vec_id, r.cluster_id, r.kept)
+               for r in feats.semdedup_frame(
+                   spark, str(d), k=B, assign="hier", nprobe=2).collect())
+    assert a == h, "end-to-end hier result differs from flat"
+
+    with _pytest.raises(ValueError, match="flat.*hier|hier.*flat"):
+        feats.semdedup_frame(spark, str(d), k=B, assign="ivf")
+    for bad in (0, -1, True, 2.5):
+        with _pytest.raises(ValueError, match="nprobe"):
+            feats.semdedup_frame(spark, str(d), k=B, assign="hier", nprobe=bad)
+    # literal path (k=None): assign is a documented no-op, not an error
+    lit = sorted((r.vec_id, r.cluster_id, r.kept)
+                 for r in feats.semdedup_frame(spark, str(d), assign="hier").collect())
+    lit_flat = sorted((r.vec_id, r.cluster_id, r.kept)
+                      for r in feats.semdedup_frame(spark, str(d)).collect())
+    assert lit == lit_flat
+
+
+def test_assign_ids_hier_artifact_and_knife_contract():
+    """The hier path inherits the flat path's edge contract: a vector
+    with non-finite components routes through the full exact fold over
+    ALL centroids (never a repaired artifact row), an exact tie between
+    two fine centroids in DIFFERENT coarse cells picks the smaller
+    centroid id (the knife re-rank over the probed candidates), and an
+    empty probed cell cannot strand a row."""
+    import numpy as np
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    # two exactly-tied centroids far apart in centroid-id space, placed
+    # so they land in different coarse cells; the query sits midway
+    cents = [[0.0, 0.0], [100.0, 0.0], [0.1, 0.0], [99.9, 0.0]]
+    coarse, members, npr = feats._coarse_route(cents, 2)
+    q = np.array([[50.0, 0.0],          # ties between cells → smallest id wins
+                  [np.nan, 1.0],        # artifact row → exact fold
+                  [np.inf, 0.0]])       # overflow row → exact fold
+    got = feats._assign_ids_hier(q, cents, coarse, members, npr)
+    want = feats._assign_ids_np(q, cents)
+    assert (got == want).all(), (got, want)
+    exact = [feats._exact_assign_row(q[i], cents) for i in range(len(q))]
+    assert list(got) == exact
+
+
 def test_assign_ids_np_exact_contract():
     """_assign_ids_np edge semantics match _exact_assign_row: exact
     ties pick the smaller centroid id (knife re-rank), NaN distances
@@ -1205,15 +1366,22 @@ def test_containment_df_cap_validation(spark):
             containment_frame(spark, SF_SMOKE, df_cap=bad)
 
 
-def test_auto_df_cap_per_lang(spark):
+def test_auto_df_cap_per_lang(spark, monkeypatch):
     """ADVICE r10: df and the verify stream are keyed (lang, gram), so
     the OOM driver is the WORST per-lang Σdf²/Σdf. A power-law
     language diluted by a bigger bounded-df one keeps the GLOBAL ratio
-    under the threshold — the per-lang rule must still pick the cap."""
+    under the threshold — the per-lang rule must still pick the cap.
+    The magnitude floor is patched out: this test pins the per-lang
+    MAX logic with unit-test-sized df values; the floor's own
+    semantics are pinned at the real constant by
+    test_auto_df_cap_magnitude_floor."""
+    import parquet_to_hyper_app_spark.operators.llm.corpus as corpus
     from parquet_to_hyper_app_spark.operators.llm.corpus import (
         _AUTO_DF_CAP,
         _auto_df_cap,
     )
+
+    monkeypatch.setattr(corpus, "_AUTO_CAP_MIN_S2", 0.0)
 
     # lang pw: one gram at df=1000 → its own Σdf²/Σdf = 1000 (>> 128);
     # lang en: 40k grams at df=2 → Σdf² = 160k, Σdf = 80k. Global
@@ -1256,16 +1424,23 @@ def test_containment_unpersists_on_failure(spark, monkeypatch):
     )
 
 
-def test_auto_df_cap_knife_edge(spark):
+def test_auto_df_cap_knife_edge(spark, monkeypatch):
     """The auto rule's boundary is STRICT (> _AUTO_CAP_RATIO): a lang
     sitting exactly ON the threshold stays uncapped; epsilon above it
     caps. Pinned with the r11 fuzz-plant construction: 130 docs sharing
     one bigram (df=130) plus m df=1 grams gives Σdf²/Σdf =
-    (130²+m)/(130+m) — 128.04 at m=2, 127.09 at m=3."""
+    (130²+m)/(130+m) — 128.04 at m=2, 127.09 at m=3. The magnitude
+    floor is patched out — at the real constant these tiny streams are
+    (correctly) below it and the knife would never be consulted; the
+    exact (130, m) construction is what makes the ratio boundary
+    precise, so it cannot be rescaled past the floor."""
+    import parquet_to_hyper_app_spark.operators.llm.corpus as corpus
     from parquet_to_hyper_app_spark.operators.llm.corpus import (
         _AUTO_DF_CAP,
         _auto_df_cap,
     )
+
+    monkeypatch.setattr(corpus, "_AUTO_CAP_MIN_S2", 0.0)
 
     exactly = spark.createDataFrame(
         [("en", 0, 128)], "lang string, h long, df long"
@@ -1283,19 +1458,24 @@ def test_auto_df_cap_knife_edge(spark):
     assert _auto_df_cap(just_below) is None  # 127.09
 
 
-def test_containment_all_high_df_doc_rides_array_term(spark, tmp_path):
+def test_containment_all_high_df_doc_rides_array_term(spark, tmp_path, monkeypatch):
     """A doc whose EVERY gram has df > cap: the hybrid's cooc_low left
     join contributes nothing and the array-only term must carry the
     entire containment value (VERDICT r10 item 7). The r11 fuzz-plant
     corpus — a 130-doc single-bigram clique (df=130 > cap=64) per
     knife-edge lang — is exactly that regime; all three verify forms
-    must agree pair-for-pair, and auto must land on the capped side
-    (per-lang max ratio 128.04 > 128)."""
+    must agree pair-for-pair. The magnitude floor is patched out so
+    auto still lands on the capped side here (per-lang max ratio
+    128.04 > 128) and keeps exercising the array term END TO END
+    through the auto branch; at the real floor this ~17k-row stream
+    correctly resolves uncapped (r12)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import parquet_to_hyper_app_spark.operators.llm.corpus as corpus
     from parquet_to_hyper_app_spark.operators.llm.corpus import containment_frame
 
+    monkeypatch.setattr(corpus, "_AUTO_CAP_MIN_S2", 0.0)
     texts, langs = [], []
     for lang_code, m in (("kh", 2), ("kl", 3)):
         texts += ["ka kb"] * 130 + [f"{lang_code}u{i} {lang_code}v{i}" for i in range(m)]
@@ -1352,11 +1532,61 @@ def test_auto_df_cap_null_lang_and_overflow(spark):
     assert _auto_df_cap(overflow) == _AUTO_DF_CAP  # df^2 = 9.61e18 > 2^63
 
 
+def test_auto_df_cap_magnitude_floor(spark):
+    """r12 (ADVICE r11): the ratio measures INTENSITY, not magnitude —
+    a tiny language with one shared gram posts an arbitrarily high
+    Σdf²/Σdf while its whole pre-combine stream fits in one shuffle
+    block, and must not flip the corpus onto the slower hybrid. A lang
+    only drives the per-lang max if its own Σdf² clears the absolute
+    _AUTO_CAP_MIN_S2 floor (1e8 rows ≈ 2.4 GB of 24-byte count rows —
+    the measured cap-win regimes all sit above it, the d5000
+    uncapped-wins point below). All at the REAL constants."""
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+    )
+
+    # the r11 knife-edge fuzz-plant shape: ratio 128.04 > 128 but the
+    # whole stream is Σdf² = 16 902 rows — four orders under the floor
+    tiny_hot = spark.createDataFrame(
+        [("kh", 0, 130), ("kh", 1, 1), ("kh", 2, 1)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(tiny_hot) is None
+    # the ADVICE r11 scenario verbatim: the tiny hot language riding a
+    # large bounded-df corpus must not force the hybrid on everyone
+    diluted = spark.createDataFrame(
+        [("kh", 0, 130), ("kh", 1, 1), ("kh", 2, 1)]
+        + [("en", i, 1 + i % 5) for i in range(2000)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(diluted) is None
+    # a genuinely large power-law head clears the floor and caps:
+    # df = 20 000 → Σdf² = 4e8 > 1e8, ratio = 20 000 > 128
+    big_hot = spark.createDataFrame(
+        [("en", 0, 20_000)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(big_hot) == _AUTO_DF_CAP
+    # the floor is STRICT >: Σdf² exactly 1e8 (df = 10 000, ratio
+    # 10 000 > 128) stays uncapped; one occurrence more crosses it
+    at_floor = spark.createDataFrame(
+        [("en", 0, 10_000)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(at_floor) is None
+    over_floor = spark.createDataFrame(
+        [("en", 0, 10_001)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(over_floor) == _AUTO_DF_CAP
+
+
 def test_distributed_train_deterministic(spark, tmp_path):
     """Reproducible-pipeline contract: the distributed trainer is
     seeded (KMeans seed=0, fixed maxIter), so two runs over the same
-    frame must return bit-identical centroid lists — a rerun of a
-    dedup stage on unchanged data must not reshuffle cluster ids."""
+    frame AT THE SAME PARTITION LAYOUT must return bit-identical
+    centroid lists — a rerun of a dedup stage on unchanged data must
+    not reshuffle cluster ids. The promise is layout-pinned (ADVICE
+    r11): k-means|| init samples per-partition, so re-reading the same
+    data at different parallelism may legally move the centroids."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -400,6 +400,13 @@ def documents_table(rng, n, dirty=False) -> pa.Table:
     # ENTIRE containment value (VERDICT r10 item 7); the clique also
     # feeds the registered uncapped key a 130-way exact-dup clique in
     # one lang (16 770 ordered pairs) through the driver oracle.
+    # Since r12's _AUTO_CAP_MIN_S2 magnitude floor (ADVICE r11), these
+    # ~17k-row streams no longer DRIVE an auto decision on their own —
+    # the knife-edge ratio is pinned with the floor patched out
+    # (tests/test_llm.py test_auto_df_cap_knife_edge) and the floor
+    # itself at the real constant (test_auto_df_cap_magnitude_floor);
+    # the plants' parity role here is the uncapped clique + the
+    # all-high-df array-term regime, both unchanged.
     for lang_code, m in (("kh", 2), ("kl", 3)):
         for _ in range(130):
             texts.append("ka kb")

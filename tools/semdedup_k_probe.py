@@ -49,6 +49,14 @@ def main() -> int:
                          "against k='auto' (distributed MLlib trainer) — measures "
                          "time AND the max/mean cluster population the n/k rule "
                          "exists to bound")
+    ap.add_argument("--hier", action="store_true",
+                    help="r12 regime (VERDICT r11 item 7): at k='auto', compare "
+                         "flat assignment (n·k matmul — quadratic when k ∝ n) "
+                         "against assign='hier' (coarse √k cells, nprobe refine "
+                         "— O(n·√k)); reports the drop-set symmetric difference "
+                         "between the two (0 wherever routing is exact; a small "
+                         "count on rotated-replica geometry is the documented "
+                         "IVF recall trade, not an error)")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -66,13 +74,16 @@ def main() -> int:
     for K in args.scales:
         probe_dir = os.path.join(base, f"x{K}")
         _replicate(spark, args.sf, probe_dir, K, tables={"embeddings": ["vec_id"]})
-        modes = (
-            (("saturated", _KM_SAMPLE), ("auto", "auto"))
-            if args.unclamped
-            else (("fixed", None), ("scaled", _KM_K * K))
-        )
+        if args.hier:
+            modes = (("flat", "auto"), ("hier", "auto"))
+        elif args.unclamped:
+            modes = (("saturated", _KM_SAMPLE), ("auto", "auto"))
+        else:
+            modes = (("fixed", None), ("scaled", _KM_K * K))
+        drop_sets: dict[str, set] = {}
         for mode, k in modes:
-            df = semdedup_frame(spark, probe_dir, k=k)
+            df = semdedup_frame(spark, probe_dir, k=k,
+                                assign="hier" if mode == "hier" else "flat")
             df.count()  # warm: file listing, codegen, UDF fork
             best, n = float("inf"), 0
             for _ in range(3):
@@ -88,6 +99,14 @@ def main() -> int:
             ).first()
             results.append((K, mode, k, best, n, dropped,
                             stats["k_used"], stats["cmax"], stats["cavg"]))
+            if args.hier:
+                drop_sets[mode] = {
+                    r.vec_id for r in df.filter("NOT kept").select("vec_id").collect()
+                }
+        if args.hier and len(drop_sets) == 2:
+            sym = drop_sets["flat"] ^ drop_sets["hier"]
+            print(f"x{K}: flat-vs-hier drop-set symmetric difference = "
+                  f"{len(sym)} of {len(drop_sets['flat'])} flat drops")
 
     print(f"\nsemdedup scale-k probe over {args.sf} (seconds, warm best-of-3)")
     hdr = (f"{'scale':>6} {'mode':>10} {'k':>6} {'time':>9} {'rows':>9} "
