@@ -585,9 +585,15 @@ def _assign_ids_hier(mats, cents: list[list[float]], coarse, members,
         c2f = np.einsum("kd,kd->k", c_arr, c_arr)
         co2 = np.einsum("kd,kd->k", coarse, coarse)
         d2c = x2[:, None] + co2[None, :] - 2.0 * (mats @ coarse.T)
-    # rows whose COARSE distances already produce artifacts can't be
-    # routed credibly — full exact fold, same as flat's artifact path
-    exact_rows = set(np.nonzero(~np.isfinite(d2c).any(axis=1) | ~np.isfinite(x2))[0].tolist())
+    # rows with ANY artifact in their COARSE distances can't be routed
+    # credibly — full exact fold, same spirit as flat, which exact-folds
+    # a row on any artifact in its fine distances (r12 self-review: the
+    # first cut spelled this ~isfinite(...).any(...), i.e. ALL-non-finite
+    # — reachable only via a non-finite centroid, which the uniform
+    # contract excludes, but the conservative ANY is what flat does)
+    exact_rows = set(
+        np.nonzero((~np.isfinite(d2c)).any(axis=1) | ~np.isfinite(x2))[0].tolist()
+    )
     d2c = np.where(np.isfinite(d2c), d2c, np.inf)
     if nprobe < ncells:
         probe = np.argpartition(d2c, nprobe - 1, axis=1)[:, :nprobe]

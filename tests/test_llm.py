@@ -1129,6 +1129,18 @@ def test_assign_ids_hier_artifact_and_knife_contract():
     exact = [feats._exact_assign_row(q[i], cents) for i in range(len(q))]
     assert list(got) == exact
 
+    # r12 self-review pin: ONE artifact coarse distance (here an inf
+    # fine centroid poisoning its cell's norm) must exact-fold every
+    # affected row — the ANY-non-finite condition, not ALL — exactly
+    # as flat exact-folds a row on any artifact fine distance
+    cents_bad = [[0.0, 0.0], [100.0, 0.0], [np.inf, 0.0]]
+    coarse_b, members_b, npr_b = feats._coarse_route(cents_bad, 2)
+    qb = np.array([[1.0, 0.0], [99.0, 0.0]])
+    got_b = feats._assign_ids_hier(qb, cents_bad, coarse_b, members_b, npr_b)
+    want_b = feats._assign_ids_np(qb, cents_bad)
+    exact_b = [feats._exact_assign_row(qb[i], cents_bad) for i in range(len(qb))]
+    assert list(got_b) == list(want_b) == exact_b == [0, 1]
+
 
 def test_assign_ids_np_exact_contract():
     """_assign_ids_np edge semantics match _exact_assign_row: exact
