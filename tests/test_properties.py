@@ -331,3 +331,44 @@ def test_assign_ids_np_always_matches_exact_fold(data):
     got = _assign_ids_np(mats, cents).tolist()
     want = [_exact_assign_row(mats[i], cents) for i in range(n)]
     assert got == want, (mats.tolist(), cents)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_assign_ids_hier_full_probe_matches_exact_fold(data):
+    """Property (r12 hier path): with nprobe = every coarse cell the
+    routing is COMPLETE, so `_assign_ids_hier`'s cell-loop merge +
+    candidate knife + artifact fallback must equal the pure sequential
+    exact fold for EVERY vector — ties, duplicated centroids, NaN/Inf
+    components, magnitude extremes, and whatever cell structure
+    `_coarse_route` builds over the drawn centroids. This isolates the
+    merge/knife bookkeeping from routing recall (which is the separate,
+    deliberately-approximate contract measured in SCALE.md); a second
+    draw runs nprobe=1 and asserts only that results are valid ids —
+    the pruned path must never crash or emit -1 on hostile input."""
+    import numpy as np
+
+    from parquet_to_hyper_app_spark.operators.llm.features import (
+        _assign_ids_hier,
+        _coarse_route,
+        _exact_assign_row,
+    )
+
+    dim = data.draw(st.integers(min_value=1, max_value=6))
+    k = data.draw(st.integers(min_value=1, max_value=7))
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    cents = [
+        [data.draw(_vec_el) for _ in range(dim)] for _ in range(k)
+    ]
+    if k >= 2 and data.draw(st.booleans()):
+        cents[1] = list(cents[0])  # duplicated centroid: exact tie by design
+    mats = np.array(
+        [[data.draw(_vec_el) for _ in range(dim)] for _ in range(n)], dtype="float64"
+    )
+    coarse, members, npr = _coarse_route(cents, nprobe=k)  # ≥ ncells → full probe
+    got = _assign_ids_hier(mats, cents, coarse, members, npr).tolist()
+    want = [_exact_assign_row(mats[i], cents) for i in range(n)]
+    assert got == want, (mats.tolist(), cents)
+    coarse1, members1, npr1 = _coarse_route(cents, nprobe=1)
+    pruned = _assign_ids_hier(mats, cents, coarse1, members1, npr1).tolist()
+    assert all(0 <= j < k for j in pruned), (pruned, mats.tolist(), cents)
