@@ -1068,7 +1068,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     does. In production SemDeDup k grows ∝ n so expected cluster size
     stays bounded (n/k ≈ const) — `semdedup_frame(spark, sf_dir, k=…)`
     is that path (pandas-UDF assignment; measured flat in
-    docs/SCALE.md's round-9 scale-k probe), while this registered
+    docs/SCALE.md's round-9 scale-k probe), with
+    `assign="hier"` as the >10⁶-vector rung (⌈√k⌉-cell coarse routing,
+    O(n·√k) — measured 4.3-6.2× faster than the flat matmul at
+    x64/x128 in docs/SCALE.md round-12), while this registered
     fixed-k shape is the oracle-replayable worst case; a degenerate
     all-identical-embedding cluster is the same bounded-slab regime
     dedup_embedding documents: the drop-set OUTPUT is linear in the
