@@ -354,8 +354,17 @@ def _global_rank_cumsum(occ: "DataFrame") -> "DataFrame":
        exclusive-prefix offsets via a window over that tiny frame, and
        broadcast-join back: global rank = offset + local rank.
 
-    Returns the input columns plus `r` (1-based global rank) and
-    `cum_n` (running sum of `n` through rank r).
+    Returns the input columns plus `r` (1-based global rank, LONG) and
+    `cum_n` (running sum of `n` through rank r). The rank is long on
+    purpose (r12 self-review): a web-scale corpus can exceed 2^31
+    distinct tokens, and the old int cast wrapped ranks past that
+    NEGATIVE under non-ANSI arithmetic — silently passing any
+    `r <= k` head filter and exploding the downstream broadcast in
+    exactly the regime the two-phase rank exists for. `__r_off + __lr`
+    is already long (sum-of-counts + int row_number), so long is the
+    natural type; the per-PARTITION row_number stays int-bounded as
+    long as the range partitioner keeps slices under 2^31 rows (at
+    10^10 tokens over even 200 partitions that is 5·10^7 per slice).
     """
     from pyspark.sql import Window as W
 
@@ -386,7 +395,7 @@ def _global_rank_cumsum(occ: "DataFrame") -> "DataFrame":
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn("r", (F.col("__r_off") + F.col("__lr")).cast("int"))
+        .withColumn("r", (F.col("__r_off") + F.col("__lr")).cast("long"))
         .withColumn("cum_n", F.col("__c_off") + F.col("__lcum"))
         .drop("__pid", "__lr", "__lcum", "__r_off", "__c_off")
     )

@@ -1621,3 +1621,22 @@ def test_distributed_train_deterministic(spark, tmp_path):
     )
     _e, v = _double_vectors(spark, str(d))
     assert _distributed_train(v, 5) == _distributed_train(v, 5)
+
+
+def test_global_rank_cumsum_rank_is_long(spark):
+    """r12 self-review: the two-phase global rank must emit a LONG
+    rank. The old int cast wrapped negative past 2^31 distinct tokens
+    under non-ANSI arithmetic — a wrapped rank silently passes the
+    `r <= k` head prune (negative < k) and unbounds the broadcast
+    build side in exactly the web-scale-vocabulary regime the
+    distributed rank exists for. Values are pinned on a small frame;
+    the type pin is what guards the overflow."""
+    from parquet_to_hyper_app_spark.operators.llm.text import _global_rank_cumsum
+
+    occ = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "token string, n long"
+    )
+    out = _global_rank_cumsum(occ)
+    assert dict(out.dtypes)["r"] == "bigint", dict(out.dtypes)
+    rows = {r.token: (r.r, r.cum_n) for r in out.collect()}
+    assert rows == {"a": (1, 5), "b": (2, 8), "c": (3, 11), "d": (4, 12)}
