@@ -695,18 +695,22 @@ _CONTAIN_T = 0.8
 #: occurrence: "the average occurrence sits in a gram seen ~N times".
 _AUTO_DF_CAP = 64
 _AUTO_CAP_RATIO = 128.0
-#: absolute per-lang Σdf² floor (r12, ADVICE r11): a language may only
-#: drive the cap decision if its own pre-combine stream is big enough
-#: to matter. 1e8 count rows ≈ 2.4 GB at 24 B/row spread across the
-#: shuffle — below what can stress an executor that already survived
-#: the corpus scan — and the measured regimes straddle it cleanly: the
-#: smallest probed point where the cap WINS (d10000 Zipf, SCALE.md
-#: round-10) has per-lang Σdf² ≈ 1.6e8, while the d5000 point where
-#: the uncapped verify still won sits at ≈ 4.1e7. Below the floor the
-#: decision falls to the (faster there) uncapped form regardless of
-#: ratio, so a tiny high-intensity language — e.g. the 132-doc
-#: knife-edge fuzz plant, whose whole stream is ~17k rows — no longer
-#: flips the corpus onto the ~25-32%-slower hybrid.
+#: absolute Σdf² floor on the SUMMED stream of the ratio-qualifying
+#: languages (r12, ADVICE r11 + review): the cap is worth its overhead
+#: only when the power-law languages' combined pre-combine stream is
+#: big enough to matter. 1e8 count rows ≈ 2.4 GB at 24 B/row spread
+#: across the shuffle — below what can stress an executor that already
+#: survived the corpus scan — and the measured regimes straddle it
+#: cleanly: the smallest probed point where the cap WINS (d10000 Zipf,
+#: SCALE.md round-10) streams ≈ 3.3e8 from its qualifying langs, while
+#: the d5000 point where the uncapped verify still won sits at ≈ 8.2e7
+#: total (and under the ratio gate anyway). Below the floor the
+#: decision falls to the (faster there) uncapped form, so a tiny
+#: high-intensity language — e.g. the 132-doc knife-edge fuzz plant,
+#: ~17k rows — no longer flips the corpus onto the ~25-32%-slower
+#: hybrid; summing over qualifying langs (not gating each alone) keeps
+#: the many-medium-languages corpus protected, since the shuffle pays
+#: the sum.
 _AUTO_CAP_MIN_S2 = 1e8
 
 
@@ -726,17 +730,21 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
 
     The ratio is evaluated PER LANGUAGE and the cap selected if ANY
     language crosses it (ADVICE r10): df and the verify stream are
-    keyed (lang, gram), so the OOM driver is the worst per-lang Σdf²
-    — one power-law language diluted by a much larger bounded-df one
-    keeps the GLOBAL ratio under the threshold while its own stream
-    still explodes. A language only qualifies for that max if its own
-    Σdf² clears the absolute ``_AUTO_CAP_MIN_S2`` floor (r12, ADVICE
-    r11): the ratio measures INTENSITY, not magnitude, and a tiny
-    language with one shared gram can post an arbitrarily high ratio
-    while its whole stream fits in one shuffle block — languages whose
-    stream is negligible can't OOM anything, so they must not force
-    the hybrid's overhead on the corpus. The single-lang power-law
-    case reduces to the r10 global rule.
+    keyed (lang, gram), so the OOM driver is the per-lang Σdf² of the
+    power-law languages — one power-law language diluted by a much
+    larger bounded-df one keeps the GLOBAL ratio under the threshold
+    while its own stream still explodes. The cap is then selected only
+    if the SUMMED Σdf² of the ratio-qualifying languages clears the
+    absolute ``_AUTO_CAP_MIN_S2`` floor (r12, ADVICE r11 + review):
+    the ratio measures INTENSITY, not magnitude, and a tiny language
+    with one shared gram posts an arbitrarily high ratio while its
+    whole stream fits in one shuffle block — but the shuffle pays the
+    SUM over languages, so the magnitude gate must be aggregate: one
+    132-doc knife-edge language (~17k rows) must not force the
+    hybrid's overhead, while a thousand medium power-law languages
+    each individually under the floor still add up to the multi-TB
+    pre-combine stream the cap exists to bound. The single-lang
+    power-law case reduces to the r10 global rule.
     NULL-lang rows are excluded (r11 review): every downstream
     (lang, h) equi-join drops them, so they contribute ZERO rows to
     either verify stream — letting an untagged slice drive the max
@@ -753,13 +761,13 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
             F.sum(F.col("df").cast("double") * F.col("df")).alias("s2"),
             F.sum("df").alias("s1"),
         )
-        .filter(F.col("s2") > F.lit(float(_AUTO_CAP_MIN_S2)))
-        .agg(F.max(F.col("s2") / F.col("s1")).alias("r"))
+        .filter(F.col("s2") / F.col("s1") > F.lit(_AUTO_CAP_RATIO))
+        .agg(F.sum("s2").alias("hot_s2"))
         .first()
     )
-    if row is None or row["r"] is None:
+    if row is None or row["hot_s2"] is None:
         return None
-    return _AUTO_DF_CAP if row["r"] > _AUTO_CAP_RATIO else None
+    return _AUTO_DF_CAP if row["hot_s2"] > float(_AUTO_CAP_MIN_S2) else None
 
 
 def containment_frame(

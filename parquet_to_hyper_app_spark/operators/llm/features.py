@@ -446,7 +446,7 @@ def _assign_ids_np(mats, cents: list[list[float]]):
     with np.errstate(invalid="ignore", over="ignore"):
         x2 = np.einsum("nd,nd->n", mats, mats)
         c2 = np.einsum("kd,kd->k", c_arr, c_arr)
-        d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ c_arr.T)
+    d2 = _matmul_d2(mats, x2, c_arr, c2)
     artifact = ~np.isfinite(d2)
     d2 = np.where(artifact, np.inf, d2)
     assign = np.argmin(d2, axis=1)
@@ -485,6 +485,45 @@ _HIER_NPROBE = 8
 #: contract (the exact knife below owns tie semantics), so the budget
 #: is a quality knob like _KM_DIST_ITERS
 _HIER_ITERS = 10
+#: driver-side chunk rows for the coarse trainer's distance blocks:
+#: bounds every intermediate at _NP_CHUNK×⌈√k⌉ doubles (~0.9 GB at
+#: k = 3·10⁶) instead of the k×⌈√k⌉ block that grows as k^1.5
+#: (~44 GB per iteration at that k — r12 review)
+_NP_CHUNK = 65536
+
+
+def _matmul_d2(x, x2, c_arr, c2):
+    """RAW matmul-expanded squared distances |x|² + |c|² − 2·x·c for a
+    row block — the ONE definition of the expansion every numpy
+    assignment/training site shares (r12 review: five hand copies of
+    this three-term expression were one edit away from drifting their
+    errstate/artifact discipline apart; the round's own first cut of
+    one copy proved it). Returns the raw block, non-finite artifacts
+    included: CALLERS own the artifact policy — routing paths
+    inf-substitute, assignment contracts route artifact rows to the
+    exact fold."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        return x2[:, None] + c2[None, :] - 2.0 * (x @ c_arr.T)
+
+
+def _nearest_chunked(mats, x2, c_arr):
+    """Chunked inf-substituted nearest-centroid argmin over row blocks
+    of `_NP_CHUNK` — routing only (the semantic knife/tie contract
+    lives in the callers' exact folds). Never materializes the full
+    n×c distance matrix, so the coarse trainer's memory stays bounded
+    at any k (the unchunked k×√k block grows as k^1.5 — r12 review)."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        c2 = np.einsum("kd,kd->k", c_arr, c_arr)
+    out = np.empty(len(mats), dtype="int64")
+    for lo in range(0, len(mats), _NP_CHUNK):
+        hi = min(lo + _NP_CHUNK, len(mats))
+        d2 = _matmul_d2(mats[lo:hi], x2[lo:hi], c_arr, c2)
+        out[lo:hi] = np.argmin(np.where(np.isfinite(d2), d2, np.inf), axis=1)
+    return out
 
 
 def _np_lloyd(mats, c: int, iters: int = _HIER_ITERS):
@@ -492,44 +531,52 @@ def _np_lloyd(mats, c: int, iters: int = _HIER_ITERS):
     the COARSE trainer for hierarchical assignment. Runs on the fine
     CENTROIDS (k×dim, already materialized on the driver by either
     fine trainer), so there is no new distributed stage and no new
-    collect: k·dim doubles is the slab `semdedup_frame` already holds.
-    Matmul-expanded distances (never an (n, k, d) tensor — `lloyd_train`'s
-    diff tensor would be k·√k·dim here), evenly-strided init (row
-    floor(i·k/c) — strictly increasing for c ≤ k, so init rows are
-    distinct positions), empty cells keep their previous position. No
-    exact-fold knife: the coarse layer only ROUTES; the semantic
-    contract (ties, NaN ranking) lives in the refine stage's
-    `_exact_assign_row` re-rank, same as the flat path."""
+    collect: k·dim doubles is the slab `semdedup_frame` already holds,
+    and the per-iteration distance blocks are chunked
+    (`_nearest_chunked`) so no intermediate exceeds _NP_CHUNK×c.
+    Evenly-strided init (row floor(i·k/c) — strictly increasing for
+    c ≤ k, so init rows are distinct positions), empty cells keep
+    their previous position, and rows with any non-finite coordinate
+    are EXCLUDED from the mean accumulation (r12 review: np.add.at
+    would otherwise fold inf/NaN into whichever cell argmin hands the
+    artifact row — usually cell 0 — NaN-poisoning its mean and
+    degrading every subsequent route; excluded rows still get a cell,
+    they just cannot move one). No exact-fold knife: the coarse layer
+    only ROUTES; the semantic contract (ties, NaN ranking) lives in
+    the refine stage's `_exact_assign_row` re-rank, same as the flat
+    path. Returns (cents, assign) with assign recomputed against the
+    FINAL centroids, so `_coarse_route` does not pay (or drift from)
+    a second assignment pass."""
     import numpy as np
 
     k = len(mats)
     c = min(c, k)
     cents = mats[np.floor(np.arange(c) * k / c).astype(int)].copy()
+    with np.errstate(invalid="ignore", over="ignore"):
+        x2 = np.einsum("nd,nd->n", mats, mats)
+    finite = np.isfinite(mats).all(axis=1)
     for _ in range(iters):
-        with np.errstate(invalid="ignore", over="ignore"):
-            x2 = np.einsum("nd,nd->n", mats, mats)
-            c2 = np.einsum("kd,kd->k", cents, cents)
-            d2 = x2[:, None] + c2[None, :] - 2.0 * (mats @ cents.T)
-        d2 = np.where(np.isfinite(d2), d2, np.inf)
-        assign = np.argmin(d2, axis=1)
+        assign = _nearest_chunked(mats, x2, cents)
         sums = np.zeros_like(cents)
-        np.add.at(sums, assign, mats)
-        counts = np.bincount(assign, minlength=c)
+        np.add.at(sums, assign[finite], mats[finite])
+        counts = np.bincount(assign[finite], minlength=c)
         live = counts > 0
         cents[live] = sums[live] / counts[live, None]
-    return cents
+    return cents, _nearest_chunked(mats, x2, cents)
 
 
 def _coarse_route(cents: list[list[float]], nprobe: int):
     """Build the two-level routing structure for `_assign_ids_hier`:
     train ⌈√k⌉ coarse centroids on the k fine centroids (driver-side
     numpy — see `_np_lloyd`), then group the fine centroids by nearest
-    coarse cell. Returns (coarse c×dim array, members: per-cell sorted
-    int arrays of fine-centroid ids, effective nprobe). Cells inherit
-    the flat path's artifact discipline: a fine centroid with any
-    non-finite coordinate routes to cell 0 arbitrarily — harmless,
-    because any VECTOR whose refine distances go non-finite re-ranks
-    through the full exact fold anyway."""
+    coarse cell (the trainer's own final-centroid assignment). Returns
+    (coarse c×dim array, members: per-cell sorted int arrays of
+    fine-centroid ids, effective nprobe). Cells inherit the flat
+    path's artifact discipline: a fine centroid with any non-finite
+    coordinate routes to cell 0 arbitrarily (and never poisons a
+    coarse mean — the trainer's finite mask) — harmless, because any
+    VECTOR whose refine distances go non-finite re-ranks through the
+    full exact fold anyway."""
     import math
 
     import numpy as np
@@ -537,15 +584,7 @@ def _coarse_route(cents: list[list[float]], nprobe: int):
     k = len(cents)
     mats = np.array(cents, dtype="float64")
     c = min(math.isqrt(max(k - 1, 0)) + 1, k)  # ⌈√k⌉, ≤ k
-    coarse = _np_lloyd(mats, c)
-    with np.errstate(invalid="ignore", over="ignore"):
-        d2 = (
-            np.einsum("nd,nd->n", mats, mats)[:, None]
-            + np.einsum("kd,kd->k", coarse, coarse)[None, :]
-            - 2.0 * (mats @ coarse.T)
-        )
-    d2 = np.where(np.isfinite(d2), d2, np.inf)
-    cell_of = np.argmin(d2, axis=1)
+    coarse, cell_of = _np_lloyd(mats, c)
     members = [np.nonzero(cell_of == j)[0] for j in range(len(coarse))]
     return coarse, members, min(nprobe, len(coarse))
 
@@ -561,19 +600,23 @@ def _assign_ids_hier(mats, cents: list[list[float]], coarse, members,
     members (n·nprobe·k/√k expected) — O(n·√k) total, sub-quadratic
     when k ∝ n.
 
-    APPROXIMATE BY CONTRACT: exact iff every vector's true nearest
-    fine centroid lies in one of its nprobe nearest coarse cells —
+    APPROXIMATE BY CONTRACT: routing is exact for a vector iff the
+    centroid the EXACT FOLD would pick — including its smallest-id
+    tie rule — lies in one of the vector's nprobe nearest coarse
+    cells; a tied or within-margin competitor sitting in an unprobed
+    cell is a routing MISS by this definition (the probed-set knife
+    cannot see it), not a tie-handling defect. Exactness so defined is
     guaranteed on separated corpora (a vector near its centroid shares
-    its centroid's cell ranking), asserted-exact vs flat in tests and
-    by `tools/semdedup_k_probe.py --hier`'s x1 drop-set equality; on
+    its centroid's cell ranking), asserted vs flat in tests and by
+    `tools/semdedup_k_probe.py --hier`'s x1 drop-set equality; on
     adversarial geometry it is the standard IVF recall trade, tuned by
     nprobe. WITHIN the probed candidate set the contract is the flat
     path's, verbatim: any non-finite distance artifact sends the row
     to the full exact fold over ALL centroids (`_exact_assign_row`),
     and a top-2 gap inside the magnitude-relative float margin
     re-ranks the row's whole candidate set with the same exact fold —
-    so on a corpus where routing is exact, the hier result is
-    bit-identical to flat, ties included."""
+    so wherever routing is exact, the hier result is bit-identical to
+    flat, probed-set ties included."""
     import numpy as np
 
     c_arr = np.array(cents, dtype="float64")
@@ -584,7 +627,7 @@ def _assign_ids_hier(mats, cents: list[list[float]], coarse, members,
         x2 = np.einsum("nd,nd->n", mats, mats)
         c2f = np.einsum("kd,kd->k", c_arr, c_arr)
         co2 = np.einsum("kd,kd->k", coarse, coarse)
-        d2c = x2[:, None] + co2[None, :] - 2.0 * (mats @ coarse.T)
+    d2c = _matmul_d2(mats, x2, coarse, co2)
     # rows with ANY artifact in their COARSE distances can't be routed
     # credibly — full exact fold, same spirit as flat, which exact-folds
     # a row on any artifact in its fine distances (r12 self-review: the
@@ -611,12 +654,7 @@ def _assign_ids_hier(mats, cents: list[list[float]], coarse, members,
         rows = np.nonzero(probe_mask[:, cell])[0]
         if len(rows) == 0:
             continue
-        with np.errstate(invalid="ignore", over="ignore"):
-            sub = (
-                x2[rows, None]
-                + c2f[mem][None, :]
-                - 2.0 * (mats[rows] @ c_arr[mem].T)
-            )
+        sub = _matmul_d2(mats[rows], x2[rows], c_arr[mem], c2f[mem])
         bad = ~np.isfinite(sub).all(axis=1)
         if bad.any():
             # refine-stage artifact (0·inf / inf−inf manufactured by the
@@ -940,9 +978,11 @@ def semdedup_frame(
     driver-side ON THE CENTROID SLAB (no new distributed stage),
     ``nprobe`` cells probed per vector, the exact-fold knife applied
     within the probed candidates — O(n·√k), sub-quadratic when k ∝ n,
-    bit-identical to flat wherever routing is exact (blob-corpus
-    equality asserted in tests; x64/x128 timings + x1 drop-set
-    equality in `tools/semdedup_k_probe.py --hier`). It is the
+    bit-identical to flat wherever routing is exact — "exact" meaning
+    the probed cells contain the exact fold's winner, tie rule
+    included; see `_assign_ids_hier` (blob-corpus equality asserted in
+    tests; x64/x128 timings + x1 drop-set equality in
+    `tools/semdedup_k_probe.py --hier`). It is the
     standard IVF recall trade on adversarial geometry, which is why
     the registered key and k="auto" stay on flat: hier is the
     deployment switch, like containment's df_cap. ``assign`` governs

@@ -1140,6 +1140,61 @@ def test_assign_ids_hier_artifact_and_knife_contract():
     want_b = feats._assign_ids_np(qb, cents_bad)
     exact_b = [feats._exact_assign_row(qb[i], cents_bad) for i in range(len(qb))]
     assert list(got_b) == list(want_b) == exact_b == [0, 1]
+    # r12 review: the non-finite fine centroid must not NaN-poison a
+    # coarse MEAN (the trainer's finite mask) — the routing structure
+    # itself stays finite, so only rows probing the bad centroid's
+    # cell pay the exact fold, never the whole corpus
+    assert np.isfinite(coarse_b).all(), coarse_b
+
+
+def test_np_lloyd_chunking_invariant(monkeypatch):
+    """r12 review: the coarse trainer's distance blocks are chunked so
+    no intermediate exceeds _NP_CHUNK×⌈√k⌉ (the unchunked k×√k block
+    grows as k^1.5 — driver OOM in exactly the >10⁶-vector regime hier
+    targets). Chunking must be invisible: the full routing structure
+    and end-assignment are identical at chunk=3 and the default."""
+    import numpy as np
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    rng = np.random.default_rng(11)
+    cents = (rng.normal(size=(50, 8)) * 0.1 + np.arange(50)[:, None]).tolist()
+    mats = np.array([cents[i % 50] for i in range(200)]) + rng.normal(size=(200, 8)) * 1e-3
+    coarse_a, members_a, npr_a = feats._coarse_route(cents, 3)
+    ids_a = feats._assign_ids_hier(mats, cents, coarse_a, members_a, npr_a)
+    monkeypatch.setattr(feats, "_NP_CHUNK", 3)
+    coarse_b, members_b, npr_b = feats._coarse_route(cents, 3)
+    ids_b = feats._assign_ids_hier(mats, cents, coarse_b, members_b, npr_b)
+    assert (coarse_a == coarse_b).all()
+    assert all((a == b).all() for a, b in zip(members_a, members_b))
+    assert (ids_a == ids_b).all()
+
+
+def test_assign_ids_hier_cross_cell_tie_is_a_routing_miss():
+    """r12 review pin of the DOCUMENTED approximation boundary: an
+    exact fine-centroid tie whose smallest-id member sits in an
+    UNPROBED cell is a routing miss by contract (the probed-set knife
+    cannot see it), not a tie-handling defect. cents 0 (at origin,
+    sharing a cell whose mean is pulled to (-20,0)) and 1 (at (100,0),
+    its own cell) are exactly equidistant from the query at (50,0):
+    flat's global knife picks the smaller id 0; hier at nprobe=1
+    probes only centroid 1's (nearer) cell and picks 1; nprobe=2
+    restores the full probe and the flat answer — the recall knob
+    behaving exactly as documented."""
+    import numpy as np
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+
+    cents = [[0.0, 0.0], [100.0, 0.0], [-40.0, 0.0]]
+    coarse, members, _ = feats._coarse_route(cents, 1)
+    assert sorted(map(tuple, coarse.tolist())) == [(-20.0, 0.0), (100.0, 0.0)]
+    q = np.array([[50.0, 0.0]])
+    flat = feats._assign_ids_np(q, cents)
+    assert list(flat) == [0]  # global tie → smallest id
+    hier1 = feats._assign_ids_hier(q, cents, coarse, members, 1)
+    assert list(hier1) == [1]  # the documented IVF miss at nprobe=1
+    hier2 = feats._assign_ids_hier(q, cents, coarse, members, 2)
+    assert list(hier2) == [0]  # full probe restores the flat answer
 
 
 def test_assign_ids_np_exact_contract():
@@ -1545,14 +1600,18 @@ def test_auto_df_cap_null_lang_and_overflow(spark):
 
 
 def test_auto_df_cap_magnitude_floor(spark):
-    """r12 (ADVICE r11): the ratio measures INTENSITY, not magnitude —
-    a tiny language with one shared gram posts an arbitrarily high
-    Σdf²/Σdf while its whole pre-combine stream fits in one shuffle
-    block, and must not flip the corpus onto the slower hybrid. A lang
-    only drives the per-lang max if its own Σdf² clears the absolute
-    _AUTO_CAP_MIN_S2 floor (1e8 rows ≈ 2.4 GB of 24-byte count rows —
-    the measured cap-win regimes all sit above it, the d5000
-    uncapped-wins point below). All at the REAL constants."""
+    """r12 (ADVICE r11 + review): the ratio measures INTENSITY, not
+    magnitude — a tiny language with one shared gram posts an
+    arbitrarily high Σdf²/Σdf while its whole pre-combine stream fits
+    in one shuffle block, and must not flip the corpus onto the slower
+    hybrid. The magnitude gate is AGGREGATE: the cap is selected iff
+    the SUMMED Σdf² of the ratio-qualifying languages clears
+    _AUTO_CAP_MIN_S2 (1e8 rows ≈ 2.4 GB of 24-byte count rows), because
+    the shuffle pays the sum over languages — one tiny hot language
+    stays uncapped, but many medium hot languages each under the floor
+    still combine into the stream the cap exists to bound (the review
+    scenario a per-lang-only floor would silently wave through). All
+    at the REAL constants."""
     from parquet_to_hyper_app_spark.operators.llm.corpus import (
         _AUTO_DF_CAP,
         _auto_df_cap,
@@ -1589,6 +1648,26 @@ def test_auto_df_cap_magnitude_floor(spark):
         [("en", 0, 10_001)], "lang string, h long, df long"
     )
     assert _auto_df_cap(over_floor) == _AUTO_DF_CAP
+    # the aggregate clause: four medium power-law langs, each Σdf² ≈
+    # 3.0e7 (under the floor alone, ratio 5500 >> 128) — their COMBINED
+    # 1.21e8-row stream crosses the floor and must select the cap,
+    # while three of them (9.1e7) stay under it
+    four = spark.createDataFrame(
+        [(f"l{i}", i, 5_500) for i in range(4)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(four) == _AUTO_DF_CAP
+    three = spark.createDataFrame(
+        [(f"l{i}", i, 5_500) for i in range(3)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(three) is None
+    # qualifying is ratio-gated: medium langs UNDER the ratio threshold
+    # never reach the sum no matter how large their combined stream
+    bounded_big = spark.createDataFrame(
+        [(f"b{i}", i, 100) for i in range(200)]
+        + [(f"b{i}", 1000 + i, 100) for i in range(200)],
+        "lang string, h long, df long",
+    )
+    assert _auto_df_cap(bounded_big) is None
 
 
 def test_distributed_train_deterministic(spark, tmp_path):
