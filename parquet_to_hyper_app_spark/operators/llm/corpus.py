@@ -714,7 +714,7 @@ _AUTO_CAP_RATIO = 128.0
 _AUTO_CAP_MIN_S2 = 1e8
 
 
-def _auto_df_cap(df_tab: DataFrame) -> int | None:
+def _auto_df_cap(df_tab: DataFrame, min_s2: float | None = None) -> int | None:
     """Choose the containment verify from the corpus df distribution:
     None (pure count join) on bounded-df vocabularies, `_AUTO_DF_CAP`
     once Σdf²/Σdf crosses the measured boundary where the count
@@ -735,7 +735,12 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     larger bounded-df one keeps the GLOBAL ratio under the threshold
     while its own stream still explodes. The cap is then selected only
     if the SUMMED Σdf² of the ratio-qualifying languages clears the
-    absolute ``_AUTO_CAP_MIN_S2`` floor (r12, ADVICE r11 + review):
+    absolute ``min_s2`` floor (default ``_AUTO_CAP_MIN_S2``; tunable
+    per ADVICE r12 — the 1e8 calibration assumes an executor that
+    shrugs off a ~2.4 GB combined pre-combine stream, and a
+    memory-constrained deployment whose power-law corpus sits just
+    under it, e.g. 8e7 qualifying rows, can lower the floor rather
+    than hand-picking an explicit df_cap) (r12, ADVICE r11 + review):
     the ratio measures INTENSITY, not magnitude, and a tiny language
     with one shared gram posts an arbitrarily high ratio while its
     whole stream fits in one shuffle block — but the shuffle pays the
@@ -754,6 +759,8 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     flipping the decision to the uncapped verify in exactly the OOM
     regime the statistic exists to catch — the threshold compare only
     needs the ~15 significant digits double carries."""
+    if min_s2 is None:  # call-time lookup, so the module constant
+        min_s2 = _AUTO_CAP_MIN_S2  # stays the single patchable knob
     row = (
         df_tab.filter(F.col("lang").isNotNull())
         .groupBy("lang")
@@ -767,11 +774,12 @@ def _auto_df_cap(df_tab: DataFrame) -> int | None:
     )
     if row is None or row["hot_s2"] is None:
         return None
-    return _AUTO_DF_CAP if row["hot_s2"] > float(_AUTO_CAP_MIN_S2) else None
+    return _AUTO_DF_CAP if row["hot_s2"] > float(min_s2) else None
 
 
 def containment_frame(
-    spark: SparkSession, sf_dir: str, df_cap: int | str | None = None
+    spark: SparkSession, sf_dir: str, df_cap: int | str | None = None,
+    auto_cap_min_s2: float | None = None,
 ) -> DataFrame:
     """The containment engine behind `dedup_containment`, with the
     VERIFY strategy selectable by ``df_cap`` (the semdedup_frame(k)
@@ -789,7 +797,12 @@ def containment_frame(
     each doc's gram set by df, so the two variants are pair-for-pair
     identical (asserted in tests and by tools/powerlaw_probe.py).
     ``df_cap="auto"`` picks between them from the corpus's own df
-    distribution (`_auto_df_cap`'s measured Σdf²/Σdf rule).
+    distribution (`_auto_df_cap`'s measured Σdf²/Σdf rule);
+    ``auto_cap_min_s2`` (ADVICE r12) lowers/raises that rule's
+    absolute Σdf² magnitude floor for deployments whose executors
+    are smaller (or larger) than the 1e8-row calibration assumed
+    (None, the default, keeps ``_AUTO_CAP_MIN_S2``) — it affects
+    the "auto" decision only, never an explicit cap.
 
     Candidate scheme (prefix filter, containment form): rank each
     doc's bigrams by (document frequency asc, hash) within its lang —
@@ -834,6 +847,28 @@ def containment_frame(
     linear, and after r9 the verify BYTES are too."""
     from pyspark.sql import Window
 
+    # same up-front hygiene as df_cap/k (ADVICE r12 made the floor
+    # tunable): a floor passed alongside a non-"auto" df_cap would be
+    # silently dead — the caller believes a lowered floor is in effect
+    # while the decision it tunes never runs — and bool (an int
+    # subclass that would gate at Σdf² > 1.0), negatives, and NaN are
+    # config typos, not regimes (r13 review closed the asymmetry)
+    if auto_cap_min_s2 is not None:
+        if df_cap != "auto":
+            raise ValueError(
+                "auto_cap_min_s2 tunes the df_cap='auto' decision only;"
+                f" passing it with df_cap={df_cap!r} would be silently dead"
+            )
+        if (
+            isinstance(auto_cap_min_s2, bool)
+            or not isinstance(auto_cap_min_s2, (int, float))
+            or auto_cap_min_s2 < 0
+            or auto_cap_min_s2 != auto_cap_min_s2
+        ):
+            raise ValueError(
+                f"auto_cap_min_s2 must be None or a number >= 0,"
+                f" got {auto_cap_min_s2!r}"
+            )
     docs = load_table(spark, sf_dir, "documents")
     # the canonical tokenize→bigram→distinct→hash frame (dedup.py) —
     # one definition shared with ngram_jaccard_pairs, so the hard-won
@@ -856,7 +891,7 @@ def containment_frame(
             # one computation. The registered (None) path never pays the
             # cache — its plan is untouched.
             cached_df_tab = df_tab = df_tab.persist()
-            df_cap = _auto_df_cap(df_tab)
+            df_cap = _auto_df_cap(df_tab, auto_cap_min_s2)
         elif df_cap is not None:
             # bool is an int subclass: df_cap=True would silently run as
             # cap=1; df_cap < 1 would route EVERY gram to the per-doc

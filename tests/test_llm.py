@@ -1197,6 +1197,83 @@ def test_assign_ids_hier_cross_cell_tie_is_a_routing_miss():
     assert list(hier2) == [0]  # full probe restores the flat answer
 
 
+def test_semdedup_hier_matches_flat_on_fuzz_plant(spark, tmp_path):
+    """r13 (VERDICT r12 item 6): the generator-level separated-blob
+    plant (tools/fuzz_data.py embeddings rows [100:150), 10 blobs ×
+    5 rows at 50·e_j, both profiles) exercises the hierarchical
+    assignment end-to-end on the SAME hostile shapes the fuzz sweep
+    throws at every other key. Two regimes:
+
+    (a) the FULL fuzz table, both profiles, explicit k=30 at the
+        default nprobe: ⌈√30⌉ = 6 coarse cells ≤ _HIER_NPROBE, so
+        routing is COMPLETE and hier must be bit-identical to flat on
+        ANY geometry — including the dirty profile's NULL / empty /
+        ragged / Inf / NaN panel, which both paths must exclude
+        identically through the shared uniform-vector gate;
+    (b) the blob block plus the EXCLUDED hostile panel under a
+        genuinely pruning probe (k=10 → 4 coarse cells, nprobe=2 < 4):
+        separated geometry is exactly the hier exactness contract, and
+        the hostile rows ride through the exclusion gates with pruning
+        live. The valid near-origin dyadic row (vec_id 10) is left
+        OUT of (b) by design: equidistant from every blob, its pruned
+        routing is geometry-ambiguous — the documented IVF miss, not
+        an equality bug — while (a)'s full probe covers it exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import parquet_to_hyper_app_spark.operators.llm.features as feats
+    from tools.fuzz_data import embeddings_table
+
+    def run(d, **kw):
+        return sorted(
+            (r.vec_id, r.cluster_id, r.kept)
+            for r in feats.semdedup_frame(spark, str(d), **kw).collect()
+        )
+
+    for profile in ("degenerate", "dirty"):
+        tbl = embeddings_table(
+            np.random.default_rng(31), 150, 64, profile == "dirty"
+        )
+        full = tmp_path / f"full_{profile}"
+        full.mkdir()
+        pq.write_table(tbl, str(full / "embeddings.parquet"))
+        flat = run(full, k=30)
+        hier = run(full, k=30, assign="hier")
+        assert flat == hier, f"full-probe hier != flat on {profile} fuzz table"
+        blob_rows = [r for r in flat if r[0] > 100]
+        assert len(blob_rows) == 50, "blob plant rows missing from the result"
+        # the drop rule keeps one row per (cluster, blob) fragment
+        # (intra-blob cos ≈ 1 is well past the threshold): every blob
+        # survives somewhere and most of every blob drops — the same
+        # split-tolerant pin as the pruned block below, because k=30
+        # Lloyd over 10 tight blobs + 100 gaussian rows may split a
+        # blob across clusters without breaking any contract
+        kept = [(v - 101) // 5 for v, _c, k_ in blob_rows if k_]
+        assert set(kept) == set(range(10)) and len(kept) < 25, kept
+
+    dirty_tbl = embeddings_table(np.random.default_rng(31), 150, 64, True)
+    hostile = [7, 8, 10, 11, 12, 13, 14]  # vec_ids 8, 9, 11..15
+    pruned = tmp_path / "blobs_hostile"
+    pruned.mkdir()
+    pq.write_table(
+        dirty_tbl.take(hostile + list(range(100, 150))),
+        str(pruned / "embeddings.parquet"),
+    )
+    flat = run(pruned, k=10)
+    hier = run(pruned, k=10, assign="hier", nprobe=2)
+    assert flat == hier, "pruned hier != flat on the separated blob plant"
+    assert len(flat) == 50 and all(v > 100 for v, _c, _k in flat), (
+        "hostile panel must be excluded, blobs retained"
+    )
+    # the drop rule keeps exactly one row per (cluster, blob) fragment
+    # (intra-blob cos ≈ 1, cross-blob cos ≈ 0). The vec_id-ordered
+    # Lloyd init may split a blob across clusters (each fragment keeps
+    # one), so pin the geometry's guarantees, not an exact count:
+    # every blob survives somewhere and most of every blob drops
+    kept = [(v - 101) // 5 for v, _c, k_ in flat if k_]
+    assert set(kept) == set(range(10)) and len(kept) < 25, kept
+
+
 def test_assign_ids_np_exact_contract():
     """_assign_ids_np edge semantics match _exact_assign_row: exact
     ties pick the smaller centroid id (knife re-rank), NaN distances
@@ -1480,7 +1557,7 @@ def test_containment_unpersists_on_failure(spark, monkeypatch):
 
     spark.catalog.clearCache()
 
-    def _boom(df_tab):
+    def _boom(df_tab, min_s2=None):
         raise RuntimeError("decision agg failed")
 
     monkeypatch.setattr(corpus, "_auto_df_cap", _boom)
@@ -1668,6 +1745,54 @@ def test_auto_df_cap_magnitude_floor(spark):
         "lang string, h long, df long",
     )
     assert _auto_df_cap(bounded_big) is None
+
+
+def test_auto_df_cap_floor_tunable(spark):
+    """r13 (ADVICE r12): the 1e8 magnitude floor is calibrated to one
+    bench environment — a memory-constrained deployment whose
+    power-law corpus streams just under it (e.g. 8e7 qualifying rows)
+    can lower the floor through `containment_frame(auto_cap_min_s2=…)`
+    instead of abandoning 'auto' for a hand-picked cap. The knob moves
+    ONLY the magnitude gate (ratio-unqualified langs never cap at any
+    floor), keeps the strict-> boundary, and rejects the config typos
+    (bool — an int subclass that would gate at Σdf² > 1.0 —
+    negatives, NaN, non-numbers) up front."""
+    import pytest as _pytest
+
+    from parquet_to_hyper_app_spark.operators.llm.corpus import (
+        _AUTO_DF_CAP,
+        _auto_df_cap,
+        containment_frame,
+    )
+
+    # ratio-qualifying (9000 > 128) but Σdf² = 8.1e7 — under the
+    # default floor, over a deployment-lowered one
+    just_under = spark.createDataFrame(
+        [("en", 0, 9_000)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(just_under) is None  # default 1e8 floor
+    assert _auto_df_cap(just_under, min_s2=5e7) == _AUTO_DF_CAP
+    assert _auto_df_cap(just_under, min_s2=8.1e7) is None  # strict >
+    # a floor of 0 reduces to the pure r10 ratio rule…
+    assert _auto_df_cap(just_under, min_s2=0.0) == _AUTO_DF_CAP
+    # …but never overrides the ratio gate itself
+    bounded = spark.createDataFrame(
+        [("en", i, 1 + i % 5) for i in range(100)], "lang string, h long, df long"
+    )
+    assert _auto_df_cap(bounded, min_s2=0.0) is None
+    # an inf floor is the documented "never auto-cap" switch
+    assert _auto_df_cap(just_under, min_s2=float("inf")) is None
+
+    for bad in (True, False, -1.0, float("nan"), "1e8"):
+        with _pytest.raises(ValueError, match="auto_cap_min_s2"):
+            containment_frame(spark, SF_SMOKE, df_cap="auto", auto_cap_min_s2=bad)
+    # the knob tunes the 'auto' decision ONLY — passing it with any
+    # other df_cap would be silently dead (the caller believes a
+    # lowered floor is live while the decision never runs), so it
+    # raises up front instead (r13 review)
+    for cap in (None, 64):
+        with _pytest.raises(ValueError, match="silently dead"):
+            containment_frame(spark, SF_SMOKE, df_cap=cap, auto_cap_min_s2=5e7)
 
 
 def test_distributed_train_deterministic(spark, tmp_path):

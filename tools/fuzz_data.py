@@ -435,15 +435,30 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     m[2] = m[0] * 1e6  # same direction, huge magnitude (cos == 1)
     m[3] = -m[0]  # antipodal (cos == -1)
     m[4] = m[4] * 1e-30  # denormal-scale magnitudes
+    # r13 plant (VERDICT r12 item 6): a separated-blob block in rows
+    # [100:150) — 10 blobs × 5 rows, centers 50·e_j (pairwise distance
+    # ~70.7 vs intra-blob jitter σ=0.01), i.e. the geometry on which
+    # the hierarchical semdedup assignment CONTRACTS exactness. Both
+    # profiles carry it, so the fuzz parity sweep exercises every
+    # clustering/near-dup key over genuinely clustered geometry next
+    # to the hostile rows, and tests/test_llm.py's hier-vs-flat fuzz
+    # check slices exactly these rows (plus the dirty hostile panel)
+    # to assert drop-set equality under a genuinely PRUNING nprobe.
+    assert n >= 150 and dim >= 10, (
+        f"separated-blob plant needs n >= 150 and dim >= 10, got n={n} dim={dim}"
+    )
+    for j in range(10):
+        blob = np.zeros(dim, dtype="float32")
+        blob[j] = 50.0
+        m[100 + 5 * j : 100 + 5 * (j + 1)] = blob + rng.normal(
+            0, 0.01, (5, dim)
+        ).astype("float32")
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
-        # the plants below index rows[5..14] and the dim−1 ragged row
-        # needs dim ≥ 2 to stay distinct from the empty-vector plant
-        # (rows[8]); a smaller panel would silently fuzz a DIFFERENT
-        # contract — fail loudly instead (ADVICE r8)
-        assert n > 14 and dim >= 2, (
-            f"dirty embeddings panel needs n > 14 and dim >= 2, got n={n} dim={dim}"
-        )
+        # the plants below index rows[5..14]; their n > 14, dim >= 2
+        # minimum (ADVICE r8: a smaller panel would silently fuzz a
+        # DIFFERENT contract) is strictly implied by the blob plant's
+        # n >= 150, dim >= 10 assert above
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
         # sequential-fold float error grows to ~1e2 absolute — pins the
