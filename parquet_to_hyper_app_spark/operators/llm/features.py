@@ -585,9 +585,13 @@ def _np_lloyd(mats, c: int, iters: int = _HIER_ITERS):
         # visible in warning output (VERDICT r12 cosmetic)
         with np.errstate(over="ignore"):
             np.add.at(sums, assign[finite], mats[finite])
-            counts = np.bincount(assign[finite], minlength=c)
-            live = counts > 0
-            cents[live] = sums[live] / counts[live, None]
+        # the bincount and the centroid division stay OUTSIDE the
+        # errstate: only the sum accumulation has an expected overflow,
+        # and a genuinely new overflow in the update arithmetic should
+        # still warn (ADVICE r13)
+        counts = np.bincount(assign[finite], minlength=c)
+        live = counts > 0
+        cents[live] = sums[live] / counts[live, None]
     return cents, _nearest_chunked(mats, x2, cents)
 
 
@@ -964,7 +968,7 @@ _SEMDEDUP_TARGET_CLUSTER = 32
 
 def semdedup_frame(
     spark: SparkSession, sf_dir: str, k: int | str | None = None,
-    assign: str = "flat", nprobe: int = _HIER_NPROBE,
+    assign: str = "flat", nprobe: int | None = None,
 ) -> DataFrame:
     """The SemDeDup engine behind `dedup_semantic`, with the quantizer
     width as a parameter.
@@ -1013,7 +1017,9 @@ def semdedup_frame(
     the registered key and k="auto" stay on flat: hier is the
     deployment switch, like containment's df_cap.
 
-    ``nprobe`` is that recall knob, and the trade is MEASURED, not
+    ``nprobe`` is that recall knob (None, the default, resolves
+    ``_HIER_NPROBE`` at CALL time, so a deployment monkeypatching the
+    module constant moves the default too), and the trade is MEASURED, not
     hypothetical (docs/SCALE.md round-12, rotated-replica corpus —
     the worst case, where coarse cells don't separate): nprobe=8
     silently under-drops 42.5% of flat's drop set (misses KEEP
@@ -1040,6 +1046,12 @@ def semdedup_frame(
 
     if assign not in ("flat", "hier"):
         raise ValueError(f"semdedup assign must be 'flat' or 'hier', got {assign!r}")
+    if nprobe is None:
+        # call-time module-constant lookup, not a def-time default bind,
+        # so monkeypatching _HIER_NPROBE changes the default callers see
+        # — the same patchability contract as corpus._auto_df_cap's
+        # min_s2 (ADVICE r13)
+        nprobe = _HIER_NPROBE
     if isinstance(nprobe, bool) or not isinstance(nprobe, int) or nprobe < 1:
         raise ValueError(f"semdedup nprobe must be a positive int, got {nprobe!r}")
     if isinstance(k, str):

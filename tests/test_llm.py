@@ -1097,6 +1097,18 @@ def test_semdedup_hier_assignment_matches_flat(spark, tmp_path):
     for bad in (0, -1, True, 2.5):
         with _pytest.raises(ValueError, match="nprobe"):
             feats.semdedup_frame(spark, str(d), k=B, assign="hier", nprobe=bad)
+    # the default is resolved from _HIER_NPROBE at CALL time (ADVICE
+    # r13, mirroring corpus._AUTO_CAP_MIN_S2): patch the module
+    # constant to an invalid value and the None default must SEE it —
+    # the raise proves resolution happens inside the call, and cheaply
+    # (validation fires before any Spark work)
+    orig = feats._HIER_NPROBE
+    feats._HIER_NPROBE = 0
+    try:
+        with _pytest.raises(ValueError, match="nprobe"):
+            feats.semdedup_frame(spark, str(d), k=B, assign="hier")
+    finally:
+        feats._HIER_NPROBE = orig
     # literal path (k=None): assign is a documented no-op, not an error
     lit = sorted((r.vec_id, r.cluster_id, r.kept)
                  for r in feats.semdedup_frame(spark, str(d), assign="hier").collect())
@@ -1261,6 +1273,12 @@ def test_semdedup_hier_matches_flat_on_fuzz_plant(spark, tmp_path):
     )
     flat = run(pruned, k=10)
     hier = run(pruned, k=10, assign="hier", nprobe=2)
+    # nprobe=2 of ⌈√10⌉=4 coarse cells relies on the seeded Lloyd
+    # landing each vector's true cell within its 2 nearest — stable on
+    # this box, but a different numpy/BLAS could perturb the centroids
+    # (ADVICE r13). If this equality ever flakes on a new environment,
+    # raise nprobe to 3 (cell count − 1) or seed-scan for a stable
+    # seed; do NOT loosen the equality itself.
     assert flat == hier, "pruned hier != flat on the separated blob plant"
     assert len(flat) == 50 and all(v > 100 for v, _c, _k in flat), (
         "hostile panel must be excluded, blobs retained"

@@ -444,21 +444,30 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
     # to the hostile rows, and tests/test_llm.py's hier-vs-flat fuzz
     # check slices exactly these rows (plus the dirty hostile panel)
     # to assert drop-set equality under a genuinely PRUNING nprobe.
-    assert n >= 150 and dim >= 10, (
-        f"separated-blob plant needs n >= 150 and dim >= 10, got n={n} dim={dim}"
-    )
-    for j in range(10):
-        blob = np.zeros(dim, dtype="float32")
-        blob[j] = 50.0
-        m[100 + 5 * j : 100 + 5 * (j + 1)] = blob + rng.normal(
-            0, 0.01, (5, dim)
-        ).astype("float32")
+    # The plant is GATED on panel size, not asserted (ADVICE r13): a
+    # future small/clean panel (n < 150 or dim < 10) simply SKIPS the
+    # blob block — loudly, here, in the one place the decision lives —
+    # instead of hard-failing a generator contract it never asked for.
+    # Every current fuzz caller passes (150, 64), so both profiles DO
+    # carry the plant today and the hier-exactness fuzz check stays
+    # end-to-end (tests/test_llm.py slices rows [100:150) and would
+    # fail on a silently missing plant, so the skip cannot rot unseen).
+    if n >= 150 and dim >= 10:
+        for j in range(10):
+            blob = np.zeros(dim, dtype="float32")
+            blob[j] = 50.0
+            m[100 + 5 * j : 100 + 5 * (j + 1)] = blob + rng.normal(
+                0, 0.01, (5, dim)
+            ).astype("float32")
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
-        # the plants below index rows[5..14]; their n > 14, dim >= 2
-        # minimum (ADVICE r8: a smaller panel would silently fuzz a
-        # DIFFERENT contract) is strictly implied by the blob plant's
-        # n >= 150, dim >= 10 assert above
+        # the plants below index rows[5..14]; a smaller panel would
+        # silently fuzz a DIFFERENT contract (ADVICE r8) — asserted
+        # here directly now that the blob plant above no longer
+        # implies it (the r13 assert became a size gate)
+        assert n > 14 and dim >= 2, (
+            f"dirty plants need n > 14 and dim >= 2, got n={n} dim={dim}"
+        )
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
         # sequential-fold float error grows to ~1e2 absolute — pins the
