@@ -461,12 +461,15 @@ def embeddings_table(rng, n, dim, dirty) -> pa.Table:
             ).astype("float32")
     rows: list[list[float] | None] = [row.tolist() for row in m]
     if dirty:
-        # the plants below index rows[5..14]; a smaller panel would
-        # silently fuzz a DIFFERENT contract (ADVICE r8) — asserted
-        # here directly now that the blob plant above no longer
-        # implies it (the r13 assert became a size gate)
-        assert n > 14 and dim >= 2, (
-            f"dirty plants need n > 14 and dim >= 2, got n={n} dim={dim}"
+        # the plants below index rows[5..14] and the dyadic-tie plant
+        # writes 4 leading components into rows[9]; a smaller panel
+        # would silently fuzz a DIFFERENT contract (ADVICE r8) — with
+        # dim < 4 rows[9] would become a length-4 ragged row instead
+        # of a uniform dyadic pin (ADVICE r14) — asserted here
+        # directly now that the blob plant above no longer implies it
+        # (the r13 assert became a size gate)
+        assert n > 14 and dim >= 4, (
+            f"dirty plants need n > 14 and dim >= 4, got n={n} dim={dim}"
         )
         m[5] = 0.0  # zero vector: cosine denominator 0 in both engines
         # 1e8-scale entries: the regime where blocked-BLAS vs
