@@ -338,3 +338,27 @@ def test_stateful_last_seen_survives_all_nat_chunk():
     [out] = list(_update_profile((1,), iter([nat_chunk, real_chunk]), state))
     assert out["n_events"].iat[0] == 3
     assert out["last_seen"].iat[0] == pd.Timestamp("2024-06-01")
+
+
+def test_dirty_panel_rejects_dims_that_would_shear_the_dyadic_plant():
+    """ADVICE r14: the dirty dyadic-tie plant writes 4 leading
+    components into rows[9]; with dim < 4 the row would silently
+    become a length-4 ragged row and the panel would fuzz a different
+    contract.  The generator must refuse (assert) instead of shearing,
+    and must still produce a uniform dyadic row at the dim == 4
+    boundary."""
+    from tools.fuzz_data import embeddings_table
+
+    rng = np.random.default_rng(269)
+    with pytest.raises(AssertionError, match="dim >= 4"):
+        embeddings_table(rng, 150, 3, True)
+
+    tbl = embeddings_table(np.random.default_rng(269), 150, 4, True)
+    vecs = tbl.column("embedding").to_pylist()
+    assert vecs[9] == [0.5078125, -0.5078125, 2.5078125, -2.5078125]
+    # the deliberate ragged/undefined plants are rows 7, 8, 10 — every
+    # OTHER defined row keeps the declared dimensionality
+    for i, v in enumerate(vecs):
+        if i in (7, 8, 10) or v is None:
+            continue
+        assert len(v) == 4, f"row {i} sheared to {len(v)}"
