@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType)
@@ -161,9 +162,11 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (the multiple COUNT(DISTINCT)s plan as one Expand — rows ×
     n_cols — with partial aggregation, NOT one scan per column like
     the oracle's UNION ALL), then the single result row explodes into
-    long format driver-side-free.
+    long format driver-side-free. `scan_spread` parallelizes the
+    Expand + partial aggregation past the row-group-limited scan
+    (sources/scanwidth.py; identity on production layouts).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     n = F.count(F.lit(1))
     aggs = []
     for c in _PROFILE_COLS:

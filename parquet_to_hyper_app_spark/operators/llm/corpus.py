@@ -39,6 +39,7 @@ from parquet_to_hyper_app_spark.operators.llm.text import (
     tokens,
 )
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 #: contamination n-gram order: long enough that a shared gram implies a
 #: copied span, short enough to catch partial overlap (WMT/benchmark
@@ -214,8 +215,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task even for a 100k-token document; the second reduces one
     row per distinct bigram per doc. Docs with < 2 tokens have no
     bigrams and are excluded (mirrored by the oracle's inner join).
+    `scan_spread` on doc_id parallelizes the per-row array work past
+    the row-group-limited scan; the (doc_id, bigram) aggregate's
+    clustering is already satisfied by the doc_id partitioning, so no
+    exchange is added (sources/scanwidth.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.lower(F.col("text")))
     base = (
         docs.withColumn("__toks", toks)
@@ -1293,7 +1298,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow-filter-first composition is what pipeline_training_corpus
     demonstrates end-to-end.
     """
-    return gopher_flags(load_table(spark, sf_dir, "documents")).select(
+    return gopher_flags(
+        scan_spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ).select(
         "doc_id",
         "n_words",
         "mean_word_len",
@@ -1472,7 +1479,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on fp — the same bounded-candidate shape as
     contamination_ngram, never all-pairs.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = scan_spread(load_table(spark, sf_dir, "documents"), "doc_id").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     terms = ", ".join(f"__toks[i+{j}-1]" if j else "__toks[i-1]" for j in range(_WIN_K))

@@ -45,6 +45,7 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
 from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -429,7 +430,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB. Unit tests additionally pin identical-text ⇒ identical
     simhash and near-identical-text ⇒ small Hamming distance.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_spread(load_table(spark, sf_dir, "documents"), "doc_id")
     out = (
         docs.withColumn("__words", F.split(F.lower(F.trim(F.col("text"))), WS + "+"))
         .withColumn(

@@ -37,6 +37,7 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
 )
 from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 
 @query(
@@ -85,7 +86,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles it, and df's one-row-per-term side stays shuffle-join-safe
     at any vocab size.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = scan_spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     # NULL text degrades to the empty doc in BOTH engines: without the
     # coalesce, Spark's size(NULL toks) is -1 (ansi off) while the
     # oracle's len(NULL) is SQL NULL — a latent cross-engine divergence

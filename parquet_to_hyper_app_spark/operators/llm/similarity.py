@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.crosshash import HASH60_DUCK, rademacher_entry
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 _N_QUERIES = 10
 _TOP_K = 3
@@ -223,7 +224,11 @@ def uniform_vectors_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = corpus_dim_for(spark, sf_dir)
     if d is None:
         return valid_vectors(emb)
-    return uniform_vectors(emb, d)
+    # scan_spread: the per-row vector math every consumer runs first
+    # (cosine panels, LSH bucket hashes, quantizer assignment) would
+    # otherwise execute on ONE core behind a row-group-limited scan;
+    # identity on production layouts (sources/scanwidth.py)
+    return scan_spread(uniform_vectors(emb, d), "vec_id")
 
 
 def embedding_count_for(spark: SparkSession, sf_dir: str) -> int:

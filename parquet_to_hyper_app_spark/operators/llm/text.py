@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 from parquet_to_hyper_app_spark.functions.crosshash import WS, WS_CHARS
 from parquet_to_hyper_app_spark.registry import query
 
@@ -122,8 +123,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S33c: heuristic quality scoring — punctuation/digit/stopword
     ratios plus a boolean gate (length band + digit ceiling), the
     standard cheap pre-filter before expensive model-based scoring.
-    NULL text scores as the empty document in both engines."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    NULL text scores as the empty document in both engines. The whole
+    query is per-row regex work with no shuffle, so `scan_spread`
+    (sources/scanwidth.py) parallelizes it past the row-group-limited
+    scan (identity on production layouts)."""
+    docs = scan_spread(load_table(spark, sf_dir, "documents"), "doc_id").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     toks = tokens(F.lower(F.col("text")))
@@ -258,9 +262,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic arithmetic, the whole classifier is value-hash
     checked against the SQL oracle built from the same marker table.
     NULL text classifies as the empty document ('und', score 0.0) in
-    both engines.
+    both engines. `scan_spread` parallelizes the per-row marker
+    scoring past the row-group-limited scan (sources/scanwidth.py).
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = scan_spread(load_table(spark, sf_dir, "documents"), "doc_id").withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     toks = tokens(F.lower(F.col("text")))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 # --------------------------------------------------------------------------
 # S5 filter + projection
@@ -93,7 +94,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order instead of ~4 lineitems per order — a 4× cut in join
     input at any scale. Decimal sums are associative, so re-aggregating
     the partials is bit-identical to aggregating raw rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -316,8 +317,11 @@ def asof_join_df(
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: TPC-H Q1 — grouped sum/avg/count. Partial (map-side) +
     final hash aggregation for free; 6 groups means the final shuffle
-    moves ~nothing regardless of input size."""
-    li = load_table(spark, sf_dir, "lineitem")
+    moves ~nothing regardless of input size. `scan_spread` parallelizes
+    the decimal partial aggregation when the input's row-group layout
+    would otherwise pin it to one core (identity on production file
+    layouts — sources/scanwidth.py)."""
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     disc_price = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
     n = F.count(F.lit(1))
     return (

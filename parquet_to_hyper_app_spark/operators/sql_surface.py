@@ -13,11 +13,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 
-def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+def _view(spark: SparkSession, sf_dir: str, name: str, spread_on: str | None = None) -> str:
+    # spread_on: parallelize first-stage compute past a row-group-
+    # limited scan (sources/scanwidth.py; identity on production
+    # layouts). Used by the percentile keys, whose partial aggregation
+    # buffers every group value and would otherwise run on one core.
     vname = f"__{name}"
-    load_table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    df = load_table(spark, sf_dir, name)
+    if spread_on is not None:
+        df = scan_spread(df, spread_on)
+    df.createOrReplaceTempView(vname)
     return vname
 
 
@@ -143,7 +151,7 @@ def sql_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont`). The approximate sketch variant
     (approx_percentile / percentile_approx) is deliberately NOT
     oracle-paired — sketches differ across engines."""
-    v = _view(spark, sf_dir, "lineitem")
+    v = _view(spark, sf_dir, "lineitem", spread_on="l_orderkey")
     return spark.sql(
         f"""
         SELECT l_returnflag,

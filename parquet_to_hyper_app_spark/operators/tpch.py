@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from parquet_to_hyper_app_spark.catalog import load_table
 from parquet_to_hyper_app_spark.functions.exact import dec2, exact_sum
 from parquet_to_hyper_app_spark.registry import query
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 
 
 @query(
@@ -45,8 +46,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp_ntz")
+    li = scan_spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp_ntz")
+        ),
+        "l_orderkey",
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -109,7 +113,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares exact decimals, so the cut is deterministic."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     qty = F.sum(dec2("l_quantity"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -495,7 +499,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cut is exact. Plan: lineitem shuffles once on partkey,
     joins its own aggregate (co-partitioned, no second shuffle of the
     agg side), part dim broadcast after the brand filter."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_partkey")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).cast("decimal(10,0)").alias("cnt"),
         F.sum(dec2("l_quantity")).alias("total_qty"),
@@ -537,9 +541,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     are client-side divisions of the emitted exact sums, so the oracle
     hash never sees float division. The whole query is one codegen
     stage feeding a 6-group hash aggregate — the partial/final split
-    means only 6 rows per task cross the exchange at any scale."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+    means only 6 rows per task cross the exchange at any scale.
+    `scan_spread` parallelizes the decimal partial aggregation when the
+    input's row-group layout would otherwise pin it to one core
+    (identity on production file layouts — sources/scanwidth.py)."""
+    li = scan_spread(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+        ),
+        "l_orderkey",
     )
     disc = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
     return (
