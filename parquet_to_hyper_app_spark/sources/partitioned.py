@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_to_hyper_app_spark.catalog import load_table
+from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
 from parquet_to_hyper_app_spark.registry import query
 
 
@@ -133,7 +134,11 @@ def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of the key distribution, so skewed dates still yield
     balanced files. Value-neutral: oracle is the source table.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # scan_spread: repartitionByRange SAMPLES its child in a separate
+    # job, so a row-group-limited scan decodes serially TWICE (sample
+    # + main); behind the spread's shuffle the decode runs once and
+    # both jobs read shuffle output in parallel (identity at scale)
+    li = scan_spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     path = os.path.join(tempfile.gettempdir(), "p2h_spark_part", "range_clustered")
     (
         li.repartitionByRange(8, "l_shipdate")
@@ -191,7 +196,10 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the pushed predicates correct (`PushedFilters` asserted in
     tests/test_plans.py::test_zorder_sink_prunes_both_dims).
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # scan_spread: three jobs read this scan (bounds agg, range
+    # sampler, main write); behind the spread the serial decode runs
+    # once and all three read shuffle output (identity at scale)
+    orders = scan_spread(load_table(spark, sf_dir, "orders"), "o_orderkey")
     lo_hi = orders.agg(
         F.min("o_custkey").alias("ck_lo"),
         F.max("o_custkey").alias("ck_hi"),
