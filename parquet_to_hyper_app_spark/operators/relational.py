@@ -272,6 +272,12 @@ def asof_join_df(
     one, and true full-row duplicates would lose multiset
     multiplicity. There is no deterministic cross-engine answer for a
     duplicated key, so the contract is the key itself."""
+    # scan_spread: the probe + max-struct partial aggregation over the
+    # event x prior-orders fanout would otherwise run serially behind a
+    # row-group-limited events scan; per-event groups are unique, so
+    # the partial aggregate loses no combine ratio to the spread
+    # (identity on production layouts - sources/scanwidth.py)
+    ev = scan_spread(ev, "event_id")
     cond = (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts)
     if tolerance is not None:
         cond = cond & (orders.o_orderdate >= ev.ts - F.expr(tolerance))
@@ -753,6 +759,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_micros takes TIMESTAMP, the tables carry TIMESTAMP_NTZ —
     # the session timezone is pinned UTC so the cast is wall-clock
     # preserving and equals DuckDB's epoch_us on naive timestamps
+    ev = scan_spread(ev, "event_id")  # same rationale as asof_join_df
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     dist = F.abs(us(orders.o_orderdate) - us(ev.ts))
     cond = (orders.o_custkey == ev.user_id) & (dist <= _ASOF_NEAREST_TOL_US)
