@@ -144,6 +144,16 @@ def main() -> int:
         "Semantics confs (REQUIRED_SQL_CONFS) always apply: they define "
         "engine behavior, not placement.",
     )
+    ap.add_argument(
+        "--oracle-sf",
+        default=None,
+        help="read the DuckDB oracle tables from THIS directory while the "
+        "engine reads --sf: physical-layout sweeps (e.g. each table "
+        "rewritten as a directory of many part files, which DuckDB 1.0 "
+        "cannot glob) point the oracle at the value-identical canonical "
+        "single-file copy. Ledger waivers are never recorded in this "
+        "mode — the pass proves the layout, not the driver-scale data.",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -172,9 +182,10 @@ def main() -> int:
         "parity", shuffle_partitions=200 if args.cluster_defaults else None
     )
     con = duckdb.connect()
+    oracle_sf = args.oracle_sf or args.sf
     for t in TABLE_NAMES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{oracle_sf}/{t}.parquet')"
         )
 
     failures = 0
@@ -214,7 +225,8 @@ def main() -> int:
             print(f"ok   {key}: rows={len(spark_pdf)} ({time.time() - t0:.1f}s)")
             local_passes[key] = fingerprint(spec)
 
-    record_local_passes(local_passes, args.sf)
+    if args.oracle_sf is None:
+        record_local_passes(local_passes, args.sf)
     print(f"\n{len(keys) - failures}/{len(keys)} passed")
     return 1 if failures else 0
 
