@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for declared queries to plans/r15/.
+"""Dump .explain("formatted") for declared queries to plans/<round>/.
 
-    python tools/explain_dump.py --tag before [--sf /root/testdata/sf0.1] key...
+    python tools/explain_dump.py --tag before [--round r16] \
+        [--sf /root/testdata/sf0.1] key...
 
-For each key writes plans/r15/<key>_<tag>.txt containing:
+For each key writes plans/<round>/<key>_<tag>.txt containing:
 - the formatted plan BEFORE execution (AQE initial), and
 - the executed plan AFTER a noop-sink run (AQE-final: real join
   strategies, AQEShuffleRead coalescing, codegen star markers),
@@ -23,7 +24,7 @@ from parquet_to_hyper_app_spark.plans.inspect import physical_plan  # noqa: E402
 from parquet_to_hyper_app_spark.registry import load_all  # noqa: E402
 from parquet_to_hyper_app_spark.session import build_session  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+PLANS_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans")
 
 
 def formatted_plan(df) -> str:
@@ -35,10 +36,12 @@ def formatted_plan(df) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", required=True)
+    ap.add_argument("--round", default="r16")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
-    os.makedirs(OUT_DIR, exist_ok=True)
+    out_dir = os.path.join(PLANS_ROOT, args.round)
+    os.makedirs(out_dir, exist_ok=True)
     specs = load_all()
     spark = build_session("explain_dump")
     rc = 0
@@ -49,7 +52,7 @@ def main() -> int:
             pre = formatted_plan(df)
             df.write.format("noop").mode("overwrite").save()
             post = physical_plan(df)
-            path = os.path.join(OUT_DIR, f"{key}_{args.tag}.txt")
+            path = os.path.join(out_dir, f"{key}_{args.tag}.txt")
             with open(path, "w") as f:
                 f.write(f"== {key} @ {args.sf} ({args.tag}) ==\n\n")
                 f.write("== explain(formatted), pre-execution ==\n")
