@@ -784,7 +784,7 @@ def _auto_df_cap(df_tab: DataFrame, min_s2: float | None = None) -> int | None:
 
 def containment_frame(
     spark: SparkSession, sf_dir: str, df_cap: int | str | None = None,
-    auto_cap_min_s2: float | None = None,
+    auto_cap_min_s2: float | None = None, materialize: bool = True,
 ) -> DataFrame:
     """The containment engine behind `dedup_containment`, with the
     VERIFY strategy selectable by ``df_cap`` (the semdedup_frame(k)
@@ -881,7 +881,9 @@ def containment_frame(
     # safety, ['']→[] normalization) can never drift between the
     # Jaccard and containment miners. Returned persisted (read 3x
     # here: df ranking, source prefixes, verify arrays).
-    grams = bigram_hash_frame(docs)
+    # materialize=False: full LAZY plan for inspection/tests (the
+    # verified_near_dup_pairs device) — no persist, no eager checkpoint
+    grams = bigram_hash_frame(docs, persist=materialize)
     cached_df_tab = None
     try:
         occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
@@ -913,7 +915,20 @@ def containment_frame(
             # measured ~2.5-3s the auto path's cache already saves
             # (VERDICT r10 item 4); same unpersist lifecycle below
             cached_df_tab = df_tab = df_tab.persist()
-        ranked = occ.join(df_tab, ["lang", "h"]).withColumn(
+        if cached_df_tab is None and df_cap is None:
+            # registered (uncapped) path: df as a COUNT WINDOW over
+            # (lang, h) — identical values to the groupBy + join-back,
+            # one (lang, h) exchange instead of agg-exchange + re-join
+            # (guide §2.4; same rewrite as ngram_jaccard_pairs). The
+            # capped/auto paths keep df_tab: they read it again for the
+            # verify split / the decision agg, where the persisted
+            # table pays for itself.
+            ranked = occ.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("lang", "h"))
+            )
+        else:
+            ranked = occ.join(df_tab, ["lang", "h"])
+        ranked = ranked.withColumn(
             "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")) - 1
         )
         prefix_len = (
@@ -1022,6 +1037,8 @@ def containment_frame(
             F.col("dst").alias("doc_dst"),
             "containment",
         )
+        if not materialize:
+            return out
         # materialize the (small) pair set eagerly so the corpus-wide
         # hash-array cache releases NOW instead of pinning executor
         # storage for the session lifetime (same lifecycle as

@@ -45,7 +45,10 @@ from parquet_to_hyper_app_spark.operators.llm.similarity import (
 from parquet_to_hyper_app_spark.functions.crosshash import WS
 from parquet_to_hyper_app_spark.operators.llm.text import tokens
 from parquet_to_hyper_app_spark.registry import query
-from parquet_to_hyper_app_spark.sources.scanwidth import scan_spread
+from parquet_to_hyper_app_spark.sources.scanwidth import (
+    max_partition_bytes,
+    scan_spread,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -639,13 +642,17 @@ def unordered_cooccurrence(occ: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
-def bigram_hash_frame(docs: DataFrame) -> DataFrame:
+def bigram_hash_frame(
+    docs: DataFrame, persist: bool = True, widen: bool = True
+) -> DataFrame:
     """The canonical (doc_id, lang, hashes, n) frame — distinct word
     bigrams of each non-blank doc as int64 xxhash64 values — the Spark
     twin of BIGRAM_SIZED_CTES_TMPL, shared by `ngram_jaccard_pairs`
     and corpus.dedup_containment (the r6 clone, extracted in r8).
     Returned PERSISTED (both callers read it ≥3×: df ranking, prefix
     rows, verify arrays); the caller owns the unpersist().
+    persist=False is the lazy plan-inspection form (miner callers pass
+    their own ``materialize=False`` through).
 
     The hard-won shapes live here exactly once:
     - the shared whitespace tokenizer (text.py), lowercased — one
@@ -681,17 +688,21 @@ def bigram_hash_frame(docs: DataFrame) -> DataFrame:
     # scan-width estimate (files, plus maxPartitionBytes splits of
     # big files) is driver-side metadata — a `.rdd.getNumPartitions()`
     # probe costs a per-call plan→RDD conversion the r9 A/B could see.
+    # widen=False: the caller KNOWS docs already sits behind a shuffle
+    # (e.g. the pipeline's exact-dedup window) — the byte-based gate
+    # below reads the SCAN's file layout, which says nothing about the
+    # frame's post-shuffle partitioning, so it would re-shuffle an
+    # already-wide frame for nothing (r16; the A/B is in
+    # OPTIMIZATION_r16.md under pipeline_training_corpus_full)
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
-    total, nfiles = _scan_bytes(docs)
+    total, nfiles = _scan_bytes(docs) if widen else (0, 0)
     if nfiles:
-        try:
-            mpb = int(
-                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-                .lower().removesuffix("b")
-            )
-        except ValueError:
-            mpb = 134_217_728
+        # shared suffix-aware conf parse (sources/scanwidth.py): the
+        # inline int(removesuffix('b')) copy of this choked on the '8m'
+        # build_session sets and silently fell back to 128 MB
+        # (ADVICE r15), undercounting splits for 8-128 MB corpora
+        mpb = max_partition_bytes(spark)
         est_parts = max(nfiles, -(-total // mpb))
         if est_parts < par:
             docs = docs.repartition(par)
@@ -704,25 +715,44 @@ def bigram_hash_frame(docs: DataFrame) -> DataFrame:
             " i -> concat_ws(' ', get(__toks, i-1), coalesce(get(__toks, i), ''))))"
         ).alias("bigrams"),
     )
-    return (
+    out = (
         grams.withColumn("bigrams", F.filter(F.col("bigrams"), lambda b: b != ""))
         .withColumn("hashes", F.transform("bigrams", lambda g: F.xxhash64(g)))
         .drop("bigrams")
         .withColumn("n", F.size("hashes"))
-        .persist()
     )
+    return out.persist() if persist else out
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, materialize: bool = True, widen: bool = True
+) -> DataFrame:
     """Exact word-bigram Jaccard pairs (J ≥ 0.5) for any
     (doc_id, lang, text) frame — see `dedup_ngram_jaccard` for the
     prefix-filter scheme and its losslessness proof. Reused by the
-    cluster assignment and the oracle-checked full pipeline."""
-    grams = bigram_hash_frame(docs)
+    cluster assignment and the oracle-checked full pipeline.
+
+    materialize=False returns the full LAZY plan (no persist, no eager
+    checkpoint) for plan inspection/tests — the same device as
+    `verified_near_dup_pairs`; every executing caller keeps the
+    default. widen=False passes through to `bigram_hash_frame` for
+    callers whose input already sits behind a shuffle."""
+    grams = bigram_hash_frame(docs, persist=materialize, widen=widen)
     # global total order per lang: (document frequency asc, hash) —
     # prefixes fill with the RAREST bigrams first
     occ = grams.select("doc_id", "lang", "n", F.explode("hashes").alias("h"))
-    df_tab = occ.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("df"))
+    # df as a COUNT WINDOW over (lang, h) instead of the r4-r15
+    # groupBy + join-back (identical values: count over the whole
+    # partition frame = the group count). The agg+join form cost one
+    # exchange of the partially-agged occ to build df_tab PLUS the join
+    # to re-attach it (broadcast locally; at scale an SMJ that shuffles
+    # occ by (lang, h) AND df_tab again) — the window form establishes
+    # the (lang, h) clustering ONCE and reads df off it (guide §2.4:
+    # operations keyed the same way share one exchange). Interleaved
+    # A/B r16 (6 batches, controls riding at 1.08-1.12 ADVERSE):
+    # jaccard 0.92 min / 0.75 med, containment 0.92 / 0.79 — both
+    # clear the control band by >=0.15 relative.
+    w_gram = W.partitionBy("lang", "h")
     # J >= 0.5 ⇒ the smallest common bigram lies within the first
     # n - ceil(n/2) + 1 = floor(n/2) + 1 ranked bigrams of BOTH docs.
     # Rank with a per-doc window + filter instead of the r4
@@ -732,7 +762,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # would drop, one shuffle either way.
     w_doc = W.partitionBy("doc_id").orderBy("df", "h")
     pref = (
-        occ.join(df_tab, ["lang", "h"])
+        occ.withColumn("df", F.count(F.lit(1)).over(w_gram))
         .withColumn("pos", F.row_number().over(w_doc) - 1)
         .filter(
             F.col("pos")
@@ -835,6 +865,8 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
         )
     )
+    if not materialize:
+        return out
     # the (small) pair set materializes eagerly so the corpus-wide
     # hash-array cache releases now, not at session end (same pattern
     # as verified_near_dup_pairs)
@@ -854,9 +886,24 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
     jump collapses chains geometrically: rounds needed grow with
     log(diameter), not diameter (review r5 — a 12-doc drift chain of
     incremental template edits previously needed 11 rounds and hit the
-    10-round RuntimeError; with jumping it converges in 4). Each round
-    is two doc_id-sized shuffles. This is the iterative-algorithm
-    pattern Spark expresses as a driver loop over declarative steps.
+    10-round RuntimeError; with jumping it converges in 4). This is the
+    iterative-algorithm pattern Spark expresses as a driver loop over
+    declarative steps.
+
+    r16 (guide §2.3, shuffle fewer bytes): the loop iterates over the
+    EDGE-TOUCHED nodes only. A node with no incident edge has an empty
+    neighbor set, so its label provably never moves off its own id —
+    yet the r15 form shuffled every corpus doc_id through two joins per
+    round. Near-dup graphs cover a small fraction of the corpus, so at
+    100 TB this cuts each round's shuffles from O(corpus) to O(dup
+    graph); the identity labels are attached once at the end with a
+    single left join (strictly cheaper than one extra round over the
+    full node set). Each round is also ONE eager materialization
+    instead of two — the jump's self-join recomputes the (tiny,
+    cache-fed) step plan twice inside one job rather than paying a
+    second job's scheduling — and the convergence probe rides the
+    checkpointed result as a __chg column (no extra join against the
+    previous labels).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -864,7 +911,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")).persist()
+    # both endpoints of every edge: edges is already symmetrized, so
+    # the src column alone covers V(edges)
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        .persist()
+    )
     converged = False
     try:
         for _ in range(max_iters):
@@ -873,23 +926,29 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            # truncate lineage each round: without this, iteration i
-            # re-executes all prior rounds (O(k²) work) and the nested
-            # plan keeps growing
-            stepped = (
-                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                    ).alias("cluster_id"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            # persist (LAZY — populated inside the one eager job below,
+            # no job of its own) so the pointer jump's self-join reads
+            # the step result from cache instead of recomputing the
+            # neighbor-min join+agg twice; the r15 form paid a separate
+            # eager checkpoint JOB here, measured ~0.3 s/call slower at
+            # sf0.1 in either direction (double-compute probe,
+            # /tmp/probe_cc.py)
+            stepped = labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            ).select(
+                "doc_id",
+                F.col("cluster_id").alias("__old"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            ).persist()
             # pointer jump: l(x) <- min(l(x), l(l(x)))
             lab2 = stepped.select(
                 F.col("doc_id").alias("lid"), F.col("cluster_id").alias("lcid")
             )
+            # localCheckpoint truncates lineage each round: without it,
+            # iteration i re-executes all prior rounds (O(k²) work) and
+            # the nested plan keeps growing
             new_labels = (
                 stepped.join(lab2, stepped.cluster_id == lab2.lid, "left")
                 .select(
@@ -897,18 +956,20 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
                     F.least(
                         F.col("cluster_id"), F.coalesce(F.col("lcid"), F.col("cluster_id"))
                     ).alias("cluster_id"),
+                    (
+                        F.least(
+                            F.col("cluster_id"),
+                            F.coalesce(F.col("lcid"), F.col("cluster_id")),
+                        )
+                        != F.col("__old")
+                    ).alias("__chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            stepped.unpersist()
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels.drop("__chg")
             if changed == 0:
                 converged = True
                 break
@@ -920,7 +981,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, max_iters: int = 10
                 f"connected_components did not converge in {max_iters} "
                 "iterations; raise max_iters (component diameter exceeds it)"
             )
-        return labels
+        # untouched nodes (no incident edge) self-label — exactly what
+        # iterating them would have produced, without k rounds of
+        # full-corpus shuffles
+        return nodes.select("doc_id").join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
     finally:
         edges.unpersist()
 
@@ -1267,7 +1334,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dim_for,
     )
 
-    emb = uniform_vectors_for(spark, sf_dir)
+    # spread=False (r16): the other r15 family-spread key the driver
+    # bench contradicted (1.36x vs claimed 0.93); here the first wide
+    # op is the groupBy on (table, bucket) whose exchange spreads the
+    # mapInPandas output anyway — confirm-or-revert A/B in
+    # OPTIMIZATION_r16.md. Reverted per VERDICT r15 item 2.
+    emb = uniform_vectors_for(spark, sf_dir, spread=False)
     dim = embedding_dim_for(spark, sf_dir)
     bits = _emb_lsh_bits(embedding_count_for(spark, sf_dir))
     # (L·bits) × dim ±1 plane matrix — md5-derived, shared with the oracle

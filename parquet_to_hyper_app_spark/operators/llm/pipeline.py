@@ -90,7 +90,15 @@ def tokenized(docs: DataFrame) -> DataFrame:
 )
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-corpus spine: quality gate → exact dedup
-    (survivor = min doc_id per identical text) → token counts."""
+    (survivor = min doc_id per identical text) → token counts.
+
+    NO scan_spread here (r16, tried and reverted): the serial first
+    stage looks like text_quality's winning shape, but this battery is
+    one length + one digit-strip regex — far lighter than
+    text_quality's — and the dedup window's sha-keyed exchange follows
+    immediately, so the spread just inserts a full text-row exchange
+    ahead of another exchange. Interleaved A/B measured 1.15 min /
+    1.36 med against 1.03/1.00 controls; reverted."""
     docs = load_table(spark, sf_dir, "documents")
     survivors = dedup_exact_df(quality_gate(docs)).drop("content_hash")
     return tokenized(survivors)
@@ -164,10 +172,17 @@ def pipeline_training_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus where sub-threshold shingle mining is preferred, swap
     `ngram_jaccard_pairs` for `verified_near_dup_pairs` (MinHash-LSH,
     rows-only check) — same pair schema, same drop rule."""
+    # NO scan_spread (r16, tried and reverted — see
+    # pipeline_training_corpus; A/B 1.18 min vs 1.03/1.08 controls)
     docs = load_table(spark, sf_dir, "documents")
     survivors = dedup_exact_df(quality_gate(docs)).drop("content_hash")
+    # widen=False: survivors already sits behind the exact-dedup
+    # window's exchange (hash of text — well spread), so the miner's
+    # own byte-gated widen — which reads the SCAN layout, blind to the
+    # shuffle above it — would round-robin the full text rows a second
+    # time for nothing (r16 A/B in OPTIMIZATION_r16.md)
     near_dups = (
-        ngram_jaccard_pairs(survivors)
+        ngram_jaccard_pairs(survivors, widen=False)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
